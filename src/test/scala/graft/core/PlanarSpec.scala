@@ -1,0 +1,152 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Geom._
+
+/** Ports of the reference's planar + simplify + cmp unit tables. */
+class PlanarSpec extends AnyFunSuite {
+
+  private def P(ps: (Double, Double)*): IndexedSeq[Pt] = ps.toVector
+
+  test("cmp.Float tolerance semantics (cmp/compare.go:39-60)") {
+    val c = Cmp.Default
+    assert(c.float(1.0, 1.0000001))
+    assert(!c.float(1.0, 1.0001))
+    assert(c.float(0.0, 1e-7))
+    assert(!c.float(0.0, 1e-5))
+    assert(c.float(Double.PositiveInfinity, Double.PositiveInfinity))
+    assert(!c.float(Double.PositiveInfinity, Double.NegativeInfinity))
+    assert(!c.float(Double.PositiveInfinity, 1.0))
+    // -0.0 == 0.0 branch
+    assert(c.float(-0.0, 0.0))
+  }
+
+  test("rotateToLeftMostPoint + lineStringEqual normalization") {
+    val a = P((1, 1), (2, 2), (0, 0))
+    val b = P((0, 0), (1, 1), (2, 2))
+    assert(Cmp.Default.lineStringEqual(a, b))
+    assert(!Cmp.Default.lineStringEqual(a, P((0, 0), (2, 2), (1, 1))))
+  }
+
+  test("perpendicular distance (planar.go:19-32)") {
+    val l = Seg(0, 0, 10, 0)
+    assert(Planar.perpendicularDistance(l, 5, 5) == 5.0)
+    assert(Planar.perpendicularDistance(l, 5, -5) == 5.0)
+    assert(Planar.perpendicularDistance(Seg(0, 0, 0, 0), 3, 4) == 0.0) // degenerate
+  }
+
+  test("slope (planar.go:35-46)") {
+    assert(Planar.slope(Seg(0, 0, 2, 2)) == ((1.0, 0.0, true)))
+    assert(Planar.slope(Seg(0, 5, 10, 5)) == ((0.0, 5.0, true)))  // horizontal
+    assert(Planar.slope(Seg(3, 0, 3, 10)) == ((0.0, 0.0, false))) // vertical: undefined
+  }
+
+  test("point on line / segment with tolerance") {
+    val c = Cmp.Default
+    assert(Planar.isPointOnLine(c, (5, 5), (0, 0), (10, 10)))
+    assert(Planar.isPointOnLine(c, (50, 50), (0, 0), (10, 10))) // infinite line
+    assert(!Planar.isPointOnLineSegment(c, (50, 50), Seg(0, 0, 10, 10)))
+    assert(Planar.isPointOnLineSegment(c, (5, 5), Seg(0, 0, 10, 10)))
+    assert(Planar.isPointOnLine(c, (3, 7), (3, 0), (3, 10))) // vertical
+  }
+
+  test("distances (distance.go)") {
+    assert(Planar.pointDistance((0, 0), (3, 4)) == 5.0)
+    assert(Planar.pointDistance2((0, 0), (3, 4)) == 25.0)
+    assert(Planar.distanceToLineSegment((5, 5), (0, 0), (10, 0)) == 5.0)
+    assert(Planar.distanceToLineSegment((-3, 4), (0, 0), (10, 0)) == 5.0) // clamps to v
+    assert(Planar.distanceToLineSegment((13, 4), (10, 0), (10, 0)) == 5.0) // degenerate
+  }
+
+  test("segment intersect (line_intersect.go:141-178)") {
+    val ((x, y), ok) = Planar.segmentIntersect(Seg(0, 0, 10, 10), Seg(0, 10, 10, 0))
+    assert(ok && x == 5.0 && y == 5.0)
+    // parallel
+    assert(!Planar.segmentIntersect(Seg(0, 0, 10, 0), Seg(0, 1, 10, 1))._2)
+    // lines cross but off-segment
+    val (_, ok2) = Planar.segmentIntersect(Seg(0, 0, 1, 1), Seg(5, 0, 6, -1))
+    assert(!ok2)
+  }
+
+  test("line intersect infinite (line_intersect.go:47-71)") {
+    assert(Planar.lineIntersect(Seg(0, 0, 1, 1), Seg(5, 0, 6, -1)) == Some((2.5, 2.5)))
+    assert(Planar.lineIntersect(Seg(0, 0, 10, 0), Seg(0, 1, 10, 1)).isEmpty)
+  }
+
+  test("colinear lines (line_intersect.go:18-42)") {
+    assert(Planar.areLinesColinear(Seg(0, 0, 10, 10), Seg(5, 5, 20, 20)))
+    // reference quirk: parallel lines whose endpoint falls inside l1's bbox
+    // are reported "colinear" (denom==0 + bbox endpoint test only)
+    assert(Planar.areLinesColinear(Seg(0, 0, 10, 10), Seg(0, 1, 10, 11)))
+    // parallel-but-disjoint: denom 0 but endpoints outside bbox
+    assert(!Planar.areLinesColinear(Seg(0, 0, 1, 0), Seg(5, 5, 6, 5)))
+    // crossing lines are never colinear (denom != 0)
+    assert(!Planar.areLinesColinear(Seg(0, 0, 10, 10), Seg(0, 10, 10, 0)))
+  }
+
+  test("centroid quirk replicated verbatim (centriod.go:4-22)") {
+    // unit square, open ring: aa is the LAST cross product — the reference
+    // divides by 3*aa, not the ring area sum
+    val pts = P((0, 0), (1, 0), (1, 1), (0, 1))
+    val (cx, cy) = Planar.pointsCentroidRef(pts)
+    // manual trace: aa values 0,1,1 → sum cx=(1+1)*1? compute explicitly:
+    // i=0: aa=0*0-1*0=0 cx+=0 cy+=0 ; i=1: aa=1*1-1*0=1 cx+=2 cy+=1
+    // i=2: aa=1*1-0*1=1 cx+=1 cy+=2 → cx=3/(3*1)=1, cy=3/3=1
+    assert(cx == 1.0 && cy == 1.0)
+  }
+
+  test("Douglas-Peucker reference table (douglaspeucker_test.go:70-110)") {
+    def check(in: IndexedSeq[Pt], tol: Double, want: IndexedSeq[Pt]): Unit = {
+      val got = Simplify.douglasPeucker(in, tol)
+      assert(Cmp.Default.lineStringEqual(got, want), s"got=$got want=$want")
+    }
+    // simple box: nothing to drop
+    check(P((0, 0), (0, 1), (1, 1), (1, 0)), 0.001, P((0, 0), (0, 1), (1, 1), (1, 0)))
+    // x axis: 100 colinear points → endpoints
+    val xaxis = (0 to 100).map(i => (i.toDouble, 0.0))
+    check(xaxis, 0.001, P((0, 0), (100, 0)))
+    // diagonal
+    val diag = (0 to 100).map(i => (i.toDouble, i.toDouble))
+    check(diag, 0.001, P((0, 0), (100, 100)))
+    // sin wave sampled 9 points over [0, 2π], tolerance .5 → zigzag
+    val n = 9
+    val sin = (0 until n).map { i =>
+      val t = 0 + (2 * math.Pi - 0) * (i.toDouble / (n - 1))
+      (t, math.sin(t))
+    }
+    check(sin, 0.5, P((0, 0), (math.Pi / 2, 1), (3 * math.Pi / 2, -1), (2 * math.Pi, 0)))
+    // tolerance <= 0 is identity
+    check(P((0, 0), (0.0001, 17), (2, 2)), 0.0, P((0, 0), (0.0001, 17), (2, 2)))
+  }
+
+  test("simplify geometry dispatch drops collapsed closed rings") {
+    val poly = GPolygon(Vector(
+      P((0, 0), (10, 0), (10, 10), (0, 10)),  // keeps 4 corners
+      P((1, 1), (1.001, 1.001), (1.002, 1.0)) // collapses ⇒ dropped (≤2 pts)
+    ))
+    val got = Simplify.geometry(poly, 0.01).asInstanceOf[GPolygon]
+    assert(got.rings.length == 2 && got.rings(1).isEmpty)
+    assert(got.rings.head.length == 4)
+  }
+
+  test("extent algebra (bbox.go)") {
+    val e = Extent(0, 0, 10, 10)
+    assert(e.containsPoint(0, 0) && e.containsPoint(10, 10) && !e.containsPoint(10.1, 5))
+    assert(e.intersect(Extent(5, 5, 15, 15)) == Some(Extent(5, 5, 10, 10)))
+    assert(e.intersect(Extent(10, 0, 20, 10)).isEmpty) // open interval: touch ⇒ disjoint
+    assert(e.intersect(Extent(20, 20, 30, 30)).isEmpty)
+    assert(Extent.ofPoints(P((3, 7), (1, 9), (5, 2))) == Some(Extent(1, 2, 5, 9)))
+    assert(e.area == 100.0 && e.expandBy(1) == Extent(-1, -1, 11, 11))
+    assert(e.edges.length == 4 && e.edges.head == Seg(0, 0, 10, 0))
+  }
+
+  test("roundToPrec half-away-from-zero, -0 → 0 (geom.go:555-566)") {
+    assert(Geom.roundToPrec(1.23456, 2) == 1.23)
+    assert(Geom.roundToPrec(1.235, 2) == 1.24)
+    assert(Geom.roundToPrec(-1.235, 2) == -1.24) // away from zero
+    assert(Geom.roundToPrec(-0.0, 2) == 0.0)
+    assert(1.0 / Geom.roundToPrec(-0.0, 2) > 0) // positive zero
+    assert(Geom.roundToPrec(2.5, 0) == 3.0)
+    assert(Geom.roundToPrec(-2.5, 0) == -3.0)
+  }
+}
