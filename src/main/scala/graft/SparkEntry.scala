@@ -1,13 +1,299 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GeomFunctions._
+import graft.sources.{Synth, DocsTable}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.json.
+  *
+  * Every entry in `queries` has a DuckDB oracle in `oracleSql` unless noted;
+  * geometry inputs are derived deterministically from the driver's parquet
+  * tables with arithmetic both engines compute bit-identically (Synth.scala).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def docsT(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+
+  /** Flagship: interleaved docs table → span extraction → WKT parse →
+    * z15 cell encode → broadcast PIP join against regions → per-region
+    * rollup. Runs on sf0.001 (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = DocsTable.docs(spark, dir)
+    val geoms = DocsTable.extractGeometries(docs)
+    val pts = geoms
+      .filter(st_geomtype(col("geom")) === "Point")
+      .select(col("doc_id"), st_x(col("geom")).as("lon"), st_y(col("geom")).as("lat"))
+      .withColumn("cell15", st_cell_at(col("lon"), col("lat"), lit(15)))
+      .withColumn("cell5", st_cell_at(col("lon"), col("lat"), lit(5)))
+    val regions = Synth.regions(spark, dir)
+      .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .withColumn("cell5",
+        explode(st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"), lit(5))))
+    pts.join(broadcast(regions), Seq("cell5"), "inner")
+      .filter(st_contains(col("poly"), col("lon"), col("lat")))
+      .groupBy(col("region_id"))
+      .agg(count(lit(1)).as("n_points"),
+           countDistinct(col("cell15")).as("n_tiles"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- slippy tiling ----
+
+    "q01_tile_assign" -> ((s, dir) => {
+      Synth.points(s, dir).select(
+        col("pid"), col("lon"), col("lat"),
+        st_lon2tile(col("lon"), lit(15)).as("tx"),
+        st_lat2tile(col("lat"), lit(15)).as("ty"))
+    }),
+
+    "q02_tile_rollup" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .select(st_cell_at(col("lon"), col("lat"), lit(15)).as("cell"))
+        .select(element_at(st_family_at(col("cell"), lit(9)), 1).as("c9"))
+        .groupBy(st_cell_x(col("c9")).as("x9"), st_cell_y(col("c9")).as("y9"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    "q16_tiles_for_bounds" -> ((s, dir) => {
+      Synth.regions(s, dir)
+        .select(col("region_id"),
+          explode(st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"),
+            lit(7))).as("cell"))
+        .select(col("region_id"), st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"))
+    }),
+
+    // ---- spatial join / predicates ----
+
+    "q03_pip_join" -> ((s, dir) => {
+      val pts = Synth.points(s, dir)
+        .withColumn("cell5", st_cell_at(col("lon"), col("lat"), lit(5)))
+      val regions = Synth.regions(s, dir)
+        .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+        .withColumn("cell5", explode(
+          st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"), lit(5))))
+      pts.join(broadcast(regions), Seq("cell5"), "inner")
+        .filter(st_contains(col("poly"), col("lon"), col("lat")))
+        .select(col("pid"), col("region_id"))
+    }),
+
+    "q04_envelope_agg" -> ((s, dir) => {
+      Synth.points(s, dir).groupBy(col("l_suppkey"))
+        .agg(min(col("lon")).as("minx"), min(col("lat")).as("miny"),
+             max(col("lon")).as("maxx"), max(col("lat")).as("maxy"),
+             count(lit(1)).as("n"))
+    }),
+
+    "q05_clip_points" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .withColumn("cg", st_clip(st_point(col("lon"), col("lat")),
+          lit(-60.0), lit(-60.0), lit(60.0), lit(60.0)))
+        .filter(col("cg").isNotNull)
+        .select(col("pid"), col("lon"), col("lat"))
+    }),
+
+    "q06_winding" -> ((s, dir) => {
+      Synth.points(s, dir).select(col("pid"),
+        st_orient(col("lon"), col("lat"), col("lon2"), col("lat2"), col("lon2"), col("lat"))
+          .as("w"))
+    }),
+
+    "q07_perp_distance" -> ((s, dir) => {
+      Synth.points(s, dir).select(col("pid"),
+        st_perpendicular_distance(col("lon"), col("lat"), col("lon2"), col("lat2"),
+          col("lon2"), col("lat")).as("d"))
+    }),
+
+    "q08_seg_intersect" -> ((s, dir) => {
+      val p = Synth.points(s, dir)
+        .withColumn("si", st_seg_intersect(
+          col("lon"), col("lat"), col("lon2"), col("lat2"),
+          col("lon2"), col("lat"), col("lon"), col("lat2")))
+      p.select(col("pid"), col("si.x").as("ix"), col("si.y").as("iy"), col("si.ok").as("ok"))
+    }),
+
+    "q09_simplify" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .withColumn("ls", st_geomfromwkt(concat(
+          lit("LINESTRING ("),
+          col("lon").cast("string"), lit(" "), col("lat").cast("string"), lit(","),
+          col("lon2").cast("string"), lit(" "), col("lat2").cast("string"), lit(","),
+          col("lon2").cast("string"), lit(" "), col("lat").cast("string"), lit(")"))))
+        .select(col("pid"),
+          st_num_points(st_simplify(col("ls"), lit(5.0))).as("npts"))
+    }),
+
+    "q10_dist_to_seg" -> ((s, dir) => {
+      Synth.points(s, dir).select(col("pid"),
+        st_distance_to_segment(col("lon"), col("lat"), col("lon2"), col("lat2"),
+          col("lon2"), col("lat")).as("d"))
+    }),
+
+    "q11_wkt_roundtrip" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .withColumn("g", st_geomfromwkt(st_aswkt(st_point(col("lon"), col("lat")))))
+        .select(col("pid"), st_x(col("g")).as("x"), st_y(col("g")).as("y"))
+    }),
+
+    "q12_knn" -> ((s, dir) => {
+      val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
+      val qs = pts.filter(col("pid") % 293 === 0)
+        .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+      val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+        (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
+      pts.join(broadcast(qs), col("qid") =!= col("pid"))
+        .select(col("qid"), col("pid").as("nid"), d2.as("dist2"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+    }),
+
+    // ---- geometry accessors over built polygons ----
+
+    "q15_region_envelope" -> ((s, dir) => {
+      Synth.regions(s, dir)
+        .withColumn("e", st_envelope(
+          st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy"))))
+        .select(col("region_id"), col("e.minx").as("eminx"), col("e.miny").as("eminy"),
+          col("e.maxx").as("emaxx"), col("e.maxy").as("emaxy"))
+    }),
+
+    "q17_centroid" -> ((s, dir) => {
+      Synth.regions(s, dir)
+        .withColumn("c", st_centroid_ref(
+          st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy"))))
+        .select(col("region_id"), col("c.x").as("cx"), col("c.y").as("cy"))
+    }),
+
+    // ---- text / dedup ----
+
+    "q13_dedup_exact" -> ((s, dir) => {
+      docsT(s, dir).groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    }),
+
+    "q14_text_stats" -> ((s, dir) => {
+      docsT(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .cast("long").as("n_punct"))
+    }),
+
+    "q18_fingerprint" -> ((s, dir) => {
+      docsT(s, dir).select(col("doc_id"), doc_fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- relational baseline ----
+
+    "q19_agg_baseline" -> ((s, dir) => {
+      li(s, dir).groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    "q20_join_baseline" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"))
+    })
+  )
+
+  // --------------------------------------------------------------------
+  // DuckDB oracles — column names must match the Spark outputs exactly.
+  // --------------------------------------------------------------------
+
+  private val P = Synth.pointsCte
+  private val R = Synth.regionsCte
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_tile_assign" ->
+      s"WITH $P SELECT pid, lon, lat, ${Synth.lon2TileSql("lon", 15)} AS tx, ${Synth.lat2TileSql("lat", 15)} AS ty FROM pts",
+
+    "q02_tile_rollup" ->
+      s"WITH $P, t AS (SELECT ${Synth.lon2TileSql("lon", 15)} AS tx, ${Synth.lat2TileSql("lat", 15)} AS ty FROM pts) SELECT tx // 64 AS x9, ty // 64 AS y9, count(*) AS n FROM t GROUP BY 1, 2",
+
+    "q16_tiles_for_bounds" ->
+      s"WITH $R, b AS (SELECT region_id, ${Synth.lon2TileSql("minx", 7)} AS xa, ${Synth.lon2TileSql("maxx", 7)} AS xb, ${Synth.lat2TileSql("maxy", 7)} AS ya, ${Synth.lat2TileSql("miny", 7)} AS yb FROM regions) SELECT region_id, gx.x, gy.y FROM b, LATERAL (SELECT unnest(generate_series(xa, xb)) AS x) gx, LATERAL (SELECT unnest(generate_series(ya, yb)) AS y) gy",
+
+    "q03_pip_join" ->
+      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy",
+
+    "q04_envelope_agg" ->
+      s"WITH $P SELECT l_suppkey, min(lon) AS minx, min(lat) AS miny, max(lon) AS maxx, max(lat) AS maxy, count(*) AS n FROM pts GROUP BY l_suppkey",
+
+    "q05_clip_points" ->
+      s"WITH $P SELECT pid, lon, lat FROM pts WHERE lon >= -60 AND lon <= 60 AND lat >= -60 AND lat <= 60",
+
+    "q06_winding" ->
+      s"WITH $P, t AS (SELECT pid, lon2 - lon AS bx, lat2 - lat AS by, lon2 - lon AS cx, lat - lat AS cy FROM pts), x AS (SELECT pid, (((cx * 0.0) - (0.0 * cy)) + ((0.0 * by) - (bx * 0.0))) + ((bx * cy) - (cx * by)) AS s FROM t) SELECT pid, CASE WHEN s = 0 THEN 0 WHEN signbit(s) THEN -1 ELSE 1 END AS w FROM x",
+
+    "q07_perp_distance" ->
+      s"WITH $P, t AS (SELECT pid, lon AS x1, lat AS y1, lon2 AS x2, lat2 AS y2, lon2 AS px, lat AS py FROM pts), u AS (SELECT pid, x2 - x1 AS dx, y2 - y1 AS dy, x1, y1, x2, y2, px, py FROM t) SELECT pid, CASE WHEN sqrt((dy * dy) + (dx * dx)) = 0 THEN 0.0 ELSE abs((((dy * px) - (dx * py)) + (x2 * y1)) - (y2 * x1)) / sqrt((dy * dy) + (dx * dx)) END AS d FROM u",
+
+    "q08_seg_intersect" ->
+      (s"WITH $P, t AS (SELECT pid, lon AS x1, lat AS y1, lon2 AS x2, lat2 AS y2, lon2 AS x3, lat AS y3, lon AS x4, lat2 AS y4 FROM pts), " +
+      "u AS (SELECT *, ((x1 - x2) * (y3 - y4)) - ((y1 - y2) * (x3 - x4)) AS denom, (x1 * y2) - (y1 * x2) AS cr1, (x3 * y4) - (y3 * x4) AS cr2 FROM t), " +
+      "v AS (SELECT pid, denom, CASE WHEN denom = 0 THEN 0.0 ELSE ((cr1 * (x3 - x4)) - ((x1 - x2) * cr2)) / denom END AS bx, " +
+      "CASE WHEN denom = 0 THEN 0.0 ELSE ((cr1 * (y3 - y4)) - ((y1 - y2) * cr2)) / denom END AS by, " +
+      "CASE WHEN denom = 0 THEN 0.0 ELSE (((x1 - x3) * (y3 - y4)) - ((y1 - y3) * (x3 - x4))) / denom END AS t, " +
+      "CASE WHEN denom = 0 THEN 0.0 ELSE -(((x1 - x2) * (y1 - y3)) - ((y1 - y2) * (x1 - x3))) / denom END AS u FROM u) " +
+      "SELECT pid, CASE WHEN bx = 0 THEN 0.0 ELSE bx END AS ix, CASE WHEN by = 0 THEN 0.0 ELSE by END AS iy, " +
+      "(denom <> 0 AND u >= 0.0 AND u <= 1.0 AND t >= 0.0 AND t <= 1.0) AS ok FROM v"),
+
+    "q09_simplify" ->
+      // DP on 3 points [p0=(x1,y1), mid=(x2,y2), p2=(x2,y1)]: line p0→p2,
+      // inner distance of mid; > tol keeps 3 points else 2
+      (s"WITH $P, t AS (SELECT pid, lon AS x1, lat AS y1, lon2 AS x2, lat2 AS y2 FROM pts), " +
+      "v AS (SELECT pid, x2 - x1 AS dx, y1 - y1 AS dy, x1, y1, x2, y2 FROM t) " +
+      "SELECT pid, CASE WHEN (CASE WHEN sqrt((dy * dy) + (dx * dx)) = 0 THEN 0.0 ELSE abs((((dy * x2) - (dx * y2)) + (x2 * y1)) - (y1 * x1)) / sqrt((dy * dy) + (dx * dx)) END) > 5.0 THEN 3 ELSE 2 END AS npts FROM v"),
+
+    "q10_dist_to_seg" ->
+      (s"WITH $P, t AS (SELECT pid, lon AS vx, lat AS vy, lon2 AS wx, lat2 AS wy, lon2 AS px, lat AS py FROM pts), " +
+      "u AS (SELECT *, ((wx - vx) * (wx - vx)) + ((wy - vy) * (wy - vy)) AS l2 FROM t), " +
+      "v AS (SELECT *, CASE WHEN l2 = 0 THEN 0.0 ELSE greatest(0.0, least(1.0, (((px - vx) * (wx - vx)) + ((py - vy) * (wy - vy))) / l2)) END AS tt FROM u) " +
+      "SELECT pid, CASE WHEN l2 = 0 THEN sqrt(((px - vx) * (px - vx)) + ((py - vy) * (py - vy))) " +
+      "ELSE sqrt(((px - (vx + tt * (wx - vx))) * (px - (vx + tt * (wx - vx)))) + ((py - (vy + tt * (wy - vy))) * (py - (vy + tt * (wy - vy))))) END AS d FROM v"),
+
+    "q11_wkt_roundtrip" ->
+      s"WITH $P SELECT pid, lon AS x, lat AS y FROM pts",
+
+    "q12_knn" ->
+      (s"WITH $P, q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat FROM pts WHERE pid % 293 = 0) " +
+      "SELECT qid, pid AS nid, ((qlon - lon) * (qlon - lon)) + ((qlat - lat) * (qlat - lat)) AS dist2, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY ((qlon - lon) * (qlon - lon)) + ((qlat - lat) * (qlat - lat)) ASC, pid ASC) AS BIGINT) AS rk " +
+      "FROM q, pts WHERE qid <> pid QUALIFY rk <= 3"),
+
+    "q15_region_envelope" ->
+      s"WITH $R SELECT region_id, minx AS eminx, miny AS eminy, maxx AS emaxx, maxy AS emaxy FROM regions",
+
+    "q17_centroid" ->
+      (s"WITH $R, t AS (SELECT region_id, (minx * miny) - (maxx * miny) AS aa1, (maxx * maxy) - (maxx * miny) AS aa2, (maxx * maxy) - (minx * maxy) AS aa3, minx, miny, maxx, maxy FROM regions) " +
+      "SELECT region_id, ((((minx + maxx) * aa1) + ((maxx + maxx) * aa2)) + ((maxx + minx) * aa3)) / (3 * aa3) AS cx, " +
+      "((((miny + miny) * aa1) + ((miny + maxy) * aa2)) + ((maxy + maxy) * aa3)) / (3 * aa3) AS cy FROM t"),
+
+    "q13_dedup_exact" ->
+      "SELECT md5(text) AS text_md5, min(doc_id) AS keeper_id, count(*) AS n_copies FROM documents GROUP BY 1",
+
+    "q14_text_stats" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_c, " +
+      "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens, " +
+      "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct FROM documents"),
+
+    "q18_fingerprint" ->
+      "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, CAST(length(text) AS BIGINT) + 1), i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1)) AS BIGINT))), (acc, c) -> ((acc * 31) + c) % 1000000007) AS fp FROM documents",
+
+    "q19_agg_baseline" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY 1, 2",
+
+    "q20_join_baseline" ->
+      "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+  )
 }

@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, DataType}
+
+/** Bridge to `private[sql]` Spark internals: the classic Column ⇄ Expression
+  * converters (hidden since the Spark Connect column refactor) and
+  * `AbstractDataType` (needed to declare `inputTypes` for implicit casts).
+  */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Base class for graft's Catalyst expressions: evaluates all children,
+  * short-circuits nulls (null-intolerant semantics), hands boxed values to
+  * `evalN`, and declares input types via the public `DataType` (so implicit
+  * casts — e.g. SQL decimal literals → Double — are inserted at analysis).
+  * Lives in this package because ImplicitCastInputTypes' `inputTypes`
+  * signature uses the `private[sql]` AbstractDataType.
+  */
+abstract class GeomExprBase extends Expression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  /** subclasses declare concrete input types here. */
+  def inputTypesImpl: Seq[DataType]
+  final override def inputTypes: Seq[AbstractDataType] = inputTypesImpl
+
+  final override def eval(input: InternalRow): Any = {
+    val cs = children
+    val n = cs.length
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val v = cs(i).eval(input)
+      if (v == null) return null
+      vals(i) = v
+      i += 1
+    }
+    evalN(vals)
+  }
+
+  protected def evalN(vals: Array[Any]): Any
+}
