@@ -143,7 +143,7 @@ object SparkEntry {
 
     "q12_knn" -> ((s, dir) => {
       val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
-      val qs = pts.filter(col("pid") % 293 === 0)
+      val qs = pts.filter(col("pid") % 2999 === 0)
         .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
       val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
         (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
@@ -203,6 +203,65 @@ object SparkEntry {
       o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- scale-path operators (operators/*) ----
+
+    "q21_knn_cell" -> ((s, dir) => {
+      val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
+      val qs = pts
+        .filter(col("lon") >= -30 && col("lon") <= 30 && col("lat") >= 0 && col("lat") <= 40)
+        .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+      graft.operators.Knn.knnJoin(qs, pts, k = 3, z = 6)
+    }),
+
+    "q22_tiler_assign" -> ((s, dir) => {
+      val docs = DocsTable.docs(s, dir)
+      val polys = DocsTable.extractGeometries(docs)
+        .filter(st_geomtype(col("geom")) === "Polygon")
+      graft.operators.Tiler.assignTiles(polys, "doc_id", 9)
+        .groupBy(st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"))
+        .agg(count(lit(1)).as("n_geoms"))
+    }),
+
+    "q23_ann_cosine" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+      val qs = emb.filter(col("vid") % 40 === 0)
+        .select(col("vid").as("qid"), col("vec").as("qvec"))
+      graft.operators.Ann.cosineTopK(qs, emb, k = 5)
+    }),
+
+    "q24_minhash_sig" -> ((s, dir) => {
+      val sig = docsT(s, dir).select(col("doc_id"), minhash(col("text"), lit(8)).as("sig"))
+      sig.select(col("doc_id") +:
+        (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"s$i")): _*)
+    }),
+
+    "q25_simhash" -> ((s, dir) => {
+      docsT(s, dir).select(col("doc_id"), simhash(col("text")).as("sh"))
+    }),
+
+    "q26_sessions" -> ((s, dir) => {
+      graft.streaming.Sessionize.batch(s.read.parquet(s"$dir/events.parquet"))
+    }),
+
+    "q27_media_meta" -> ((s, dir) => {
+      val media = docsT(s, dir).select(col("doc_id"), col("text").cast("binary").as("blob"))
+      graft.operators.Media.extractMeta(media, "doc_id", "blob")
+    }),
+
+    "q28_lang_score" -> ((s, dir) => {
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      // " word " (len+2) → " x" (2): length drops by len(word) per hit
+      def hits(word: String) =
+        ((length(padded) - length(regexp_replace(padded, s" $word ", " x")))
+          / lit(word.length)).cast("long")
+      docsT(s, dir).select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"),
+        (hits("the") + hits("and") + hits("of") + hits("to")).as("stop_hits"))
+        .withColumn("score", col("stop_hits").cast("double") / col("n_tokens"))
+        .withColumn("is_en", col("score") >= 0.05)
     })
   )
 
@@ -266,7 +325,7 @@ object SparkEntry {
       s"WITH $P SELECT pid, lon AS x, lat AS y FROM pts",
 
     "q12_knn" ->
-      (s"WITH $P, q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat FROM pts WHERE pid % 293 = 0) " +
+      (s"WITH $P, q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat FROM pts WHERE pid % 2999 = 0) " +
       "SELECT qid, pid AS nid, ((qlon - lon) * (qlon - lon)) + ((qlat - lat) * (qlat - lat)) AS dist2, " +
       "CAST(row_number() OVER (PARTITION BY qid ORDER BY ((qlon - lon) * (qlon - lon)) + ((qlat - lat) * (qlat - lat)) ASC, pid ASC) AS BIGINT) AS rk " +
       "FROM q, pts WHERE qid <> pid QUALIFY rk <= 3"),
@@ -294,6 +353,78 @@ object SparkEntry {
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY 1, 2",
 
     "q20_join_baseline" ->
-      "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1"
+      "SELECT c_nationkey, count(*) AS n_orders FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1",
+
+    "q21_knn_cell" ->
+      (s"WITH $P, q AS (SELECT pid AS qid, lon AS qlon, lat AS qlat FROM pts WHERE lon >= -30 AND lon <= 30 AND lat >= 0 AND lat <= 40) " +
+      "SELECT qid, pid AS nid, ((qlon - lon) * (qlon - lon)) + ((qlat - lat) * (qlat - lat)) AS dist2, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY ((qlon - lon) * (qlon - lon)) + ((qlat - lat) * (qlat - lat)) ASC, pid ASC) AS BIGINT) AS rk " +
+      "FROM q, pts WHERE qid <> pid QUALIFY rk <= 3"),
+
+    "q22_tiler_assign" ->
+      (s"WITH $P, polys AS (SELECT pid, CASE WHEN pid % 194 = 0 THEN lon ELSE lon - 1.0 END AS bminx, " +
+      "CASE WHEN pid % 194 = 0 THEN lat ELSE lat - 1.0 END AS bminy, " +
+      "CASE WHEN pid % 194 = 0 THEN lon + 2.0 ELSE lon + 1.0 END AS bmaxx, " +
+      "CASE WHEN pid % 194 = 0 THEN lat + 2.0 ELSE lat + 1.0 END AS bmaxy FROM pts WHERE pid % 97 = 0), " +
+      s"b AS (SELECT pid, ${Synth.lon2TileSql("bminx", 9)} AS xa, ${Synth.lon2TileSql("bmaxx", 9)} AS xb, " +
+      s"${Synth.lat2TileSql("bmaxy", 9)} AS ya, ${Synth.lat2TileSql("bminy", 9)} AS yb FROM polys), " +
+      "t AS (SELECT pid, gx.x, gy.y FROM b, LATERAL (SELECT unnest(generate_series(xa, xb)) AS x) gx, " +
+      "LATERAL (SELECT unnest(generate_series(ya, yb)) AS y) gy) " +
+      "SELECT x, y, count(*) AS n_geoms FROM t GROUP BY 1, 2"),
+
+    "q23_ann_cosine" ->
+      ("WITH e AS (SELECT vec_id AS vid, embedding AS v FROM embeddings), " +
+      "q AS (SELECT vid AS qid, v AS qv FROM e WHERE vid % 40 = 0), " +
+      "p AS (SELECT qid, vid, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, CAST(len(qv) AS BIGINT) + 1), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(v[CAST(i AS INTEGER)] AS DOUBLE))), (acc, x) -> acc + x) AS dt, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, CAST(len(qv) AS BIGINT) + 1), i -> CAST(qv[CAST(i AS INTEGER)] AS DOUBLE) * CAST(qv[CAST(i AS INTEGER)] AS DOUBLE))), (acc, x) -> acc + x) AS nq, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, CAST(len(v) AS BIGINT) + 1), i -> CAST(v[CAST(i AS INTEGER)] AS DOUBLE) * CAST(v[CAST(i AS INTEGER)] AS DOUBLE))), (acc, x) -> acc + x) AS nv " +
+      "FROM q, e WHERE qid <> vid) " +
+      "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
+      "FROM p QUALIFY rk <= 5"),
+
+    "q24_minhash_sig" ->
+      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] " +
+      "ELSE list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles FROM w), " +
+      "h AS (SELECT doc_id, list_transform(shingles, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, CAST(length(s) AS BIGINT) + 1), j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT))), " +
+      "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM sh) " +
+      "SELECT doc_id, " + (0 until 8).map(i =>
+        s"list_min(list_transform(hs, h -> ((${2 * i + 1} * h) + ${i * i + 1}) % 1000000007)) AS s$i")
+        .mkString(", ") + " FROM h"),
+
+    "q25_simhash" ->
+      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), " +
+      "h AS (SELECT doc_id, list_transform(words, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, CAST(length(s) AS BIGINT) + 1), j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT))), " +
+      "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM w) " +
+      "SELECT doc_id, CAST(list_sum(list_transform(range(0, 31), b -> " +
+      "CASE WHEN CAST(list_sum(list_transform(hs, h -> CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0 " +
+      "THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh FROM h"),
+
+    "q26_sessions" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events), " +
+      "x AS (SELECT user_id, event_id, ts_us, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS prev_ts FROM e), " +
+      "y AS (SELECT user_id, event_id, ts_us, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_sess FROM x), " +
+      "z AS (SELECT user_id, ts_us, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM y) " +
+      "SELECT user_id, session_id, count(*) AS n_events, min(ts_us) AS t_start_us, max(ts_us) AS t_end_us FROM z GROUP BY 1, 2"),
+
+    "q27_media_meta" ->
+      ("SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, " +
+      "CAST(16 + octet_length(encode(text)) % 1017 AS INTEGER) AS width, " +
+      "CAST(16 + (octet_length(encode(text)) * 31) % 1017 AS INTEGER) AS height, " +
+      "CAST(1 + doc_id % 24 AS INTEGER) AS n_frames FROM documents"),
+
+    "q28_lang_score" ->
+      ("WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS pad FROM documents), " +
+      "h AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens, " +
+      "CAST((length(pad) - length(regexp_replace(pad, ' the ', ' x', 'g'))) / 3 AS BIGINT) + " +
+      "CAST((length(pad) - length(regexp_replace(pad, ' and ', ' x', 'g'))) / 3 AS BIGINT) + " +
+      "CAST((length(pad) - length(regexp_replace(pad, ' of ', ' x', 'g'))) / 2 AS BIGINT) + " +
+      "CAST((length(pad) - length(regexp_replace(pad, ' to ', ' x', 'g'))) / 2 AS BIGINT) AS stop_hits FROM p) " +
+      "SELECT doc_id, n_tokens, stop_hits, CAST(stop_hits AS DOUBLE) / n_tokens AS score, " +
+      "(CAST(stop_hits AS DOUBLE) / n_tokens) >= 0.05 AS is_en FROM h")
   )
 }

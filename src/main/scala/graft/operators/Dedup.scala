@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeomFunctions._
+import graft.functions.TextKernels
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Exact: hash-groupBy on content (one shuffle on the md5 key).
+  * Near-dup: MinHash + LSH banding — signature per doc (map-only),
+  * explode to (band, band_hash) keys, groupBy band bucket, emit candidate
+  * pairs inside buckets, verify with word-shingle Jaccard. At scale the
+  * only shuffles are the band groupBy and the pair dedup; signature width
+  * and band count tune recall/precision.
+  */
+object Dedup {
+
+  /** exact dedup: (text_md5, keeper_id, n_copies, dup_ids). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+
+  /** MinHash signatures + banded bucket keys.
+    * numPerms must be bands * rowsPerBand.
+    */
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int, rowsPerBand: Int): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("doc"), minhash(col(textCol), lit(numPerms)).as("sig"))
+    // band hash: fold the band's rows with the same rolling scheme
+    sig.select(col("doc"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          (0 until rowsPerBand).map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+            .reduce((acc, x) => (acc * 31 + x) % TextKernels.Prime).as("bhash"))
+      }: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
+  }
+
+  /** candidate near-dup pairs from shared LSH buckets, verified by
+    * MinHash-estimated Jaccard ≥ threshold (fraction of matching
+    * signature positions).
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, rowsPerBand: Int = 4,
+                   threshold: Double = 0.5): DataFrame = {
+    val numPerms = bands * rowsPerBand
+    val sig = docs.select(col(idCol).as("doc"), minhash(col(textCol), lit(numPerms)).as("sig"))
+    val banded = minhashBands(docs, idCol, textCol, bands, rowsPerBand)
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
+      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numPerms)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist inside identical
+    * high-bit prefixes (cheap blocking for the common near-identical case).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   prefixBits: Int = 16, maxDist: Int = 3): DataFrame = {
+    val hashed = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
+      .withColumn("block", shiftright(col("sh"), 31 - prefixBits))
+    hashed.as("a").join(hashed.as("b"),
+        col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        hamming(col("a.sh"), col("b.sh")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** word n-gram Jaccard similarity between explicit pairs — the exact
+    * verifier behind the MinHash estimate.
+    */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc"),
+      array_distinct(transform(
+        slice(split(lower(col(textCol)), "\\s+"), lit(1),
+          greatest(size(split(lower(col(textCol)), "\\s+")) - (n - 1), lit(0))),
+        (_, i) => concat_ws(" ",
+          (0 until n).map(j => element_at(split(lower(col(textCol)), "\\s+"), i + j + 1)): _*)))
+        .as("grams"))
+    pairs
+      .join(grams.select(col("doc").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("doc").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("uni", size(array_union(col("ga"), col("gb"))))
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+}

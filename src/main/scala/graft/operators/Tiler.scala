@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeomFunctions._
+
+/** Raster↔vector tiler: assigns geometries to the slippy tiles they
+  * overlap (reference slippy.FromBounds over the geometry envelope,
+  * tile.go:111-145) and joins vector features to raster media references
+  * addressed by tile.
+  *
+  * Scale shape: envelope + tile explosion are per-row expressions (no
+  * shuffle); the groupBy(tile) / join(tile) shuffles on the packed long
+  * cell id, which also sorts in (z, x, y) reference order. Multi-zoom
+  * output is one pass via st_family_at.
+  */
+object Tiler {
+
+  /** geometries(id, geom WKB) → one row per (id, cell) covering the
+    * geometry envelope at zoom z.
+    */
+  def assignTiles(geoms: DataFrame, idCol: String, z: Int): DataFrame = {
+    geoms
+      .withColumn("env", st_envelope(col("geom")))
+      .filter(col("env").isNotNull)
+      .select(col(idCol), explode(st_tiles_for_bounds(
+        col("env.minx"), col("env.miny"), col("env.maxx"), col("env.maxy"),
+        lit(z))).as("cell"))
+  }
+
+  /** per-tile feature counts rolled up across several zooms in one pass:
+    * base assignment at the deepest zoom, ancestors via st_family_at.
+    */
+  def multiZoomCounts(geoms: DataFrame, idCol: String, zooms: Seq[Int]): DataFrame = {
+    val deepest = zooms.max
+    val base = assignTiles(geoms, idCol, deepest)
+    val perZoom = zooms.map { zz =>
+      base.select(col(idCol),
+        element_at(st_family_at(col("cell"), lit(zz)), 1).as("cell"))
+        .distinct() // a geometry may span several children of one ancestor
+    }
+    perZoom.reduce(_ unionByName _)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_features"))
+      .select(st_cell_z(col("cell")).as("z"), st_cell_x(col("cell")).as("x"),
+        st_cell_y(col("cell")).as("y"), col("n_features"))
+  }
+
+  /** Raster↔vector join: vector points keyed by their z15 cell meet media
+    * spans keyed by the tile encoded in their media_ref
+    * ("media://tile/{z}/{x}/{y}#{n}").
+    */
+  def rasterVectorJoin(vectorPts: DataFrame, mediaRefs: DataFrame): DataFrame = {
+    val vec = vectorPts.withColumn("cell",
+      st_cell_at(col("lon"), col("lat"), lit(15)))
+    val ras = mediaRefs
+      .withColumn("parts", split(regexp_replace(col("media_ref"), "^media://tile/", ""), "[/#]"))
+      .select(col("ras_id"),
+        shiftleft(element_at(col("parts"), 1).cast("long"), 58)
+          .bitwiseOR(shiftleft(element_at(col("parts"), 2).cast("long"), 29))
+          .bitwiseOR(element_at(col("parts"), 3).cast("long")).as("cell"))
+    vec.join(ras, Seq("cell"))
+  }
+}

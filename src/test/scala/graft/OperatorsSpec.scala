@@ -1,0 +1,170 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+import graft.streaming.Sessionize
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def bruteKnn(qs: DataFrame, pts: DataFrame, k: Int): DataFrame = {
+    val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
+    pts.join(broadcast(qs), col("qid") =!= col("pid"))
+      .select(col("qid"), col("pid").as("nid"), d2.as("dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  test("cell-pruned kNN is exactly brute-force kNN (certification + fallback)") {
+    val pts = graft.sources.Synth.points(spark, dir).select(col("pid"), col("lon"), col("lat"))
+    // include sparse-region queries to force the fallback path
+    val qs = pts.filter(col("pid") % 37 === 0)
+      .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val got = Knn.knnJoin(qs, pts, k = 3, z = 6)
+    val want = bruteKnn(qs, pts, 3)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
+  test("LSH ANN recall against brute-force cosine top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+    val qs = emb.filter(col("vid") % 25 === 0)
+      .select(col("vid").as("qid"), col("vec").as("qvec"))
+    val exact = Ann.cosineTopK(qs, emb, k = 10)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshTopK(qs, emb, k = 10, dim = 64, bits = 4)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 4-bit SRP on 64-dim random vectors: bucket holds ~1/16 of corpus;
+    // recall is approximate by design — sanity floor only
+    assert(recall > 0.1, s"recall=$recall")
+    assert(approx.nonEmpty)
+  }
+
+  test("minhash LSH finds constructed near-duplicates") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                   // near-dup of 1
+      (3L, base.replace("quick", "slow")),     // near-dup of 1
+      (4L, "completely different words nothing shared at all here ok"),
+      (5L, base)                               // exact dup of 1
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4,
+      threshold = 0.4)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), s"exact dup pair missing: $pairs")
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L) ||
+           pairs.exists(p => p._1 == 2L && p._2 == 5L), s"near dup missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), s"false positive with 4: $pairs")
+  }
+
+  test("exact dedup groups identical texts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val res = Dedup.exact(docs, "doc_id", "text")
+      .filter(col("n_copies") > 1).collect()
+    assert(res.length == 1)
+    assert(res(0).getAs[Long]("keeper_id") == 1L)
+    assert(res(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("ngram jaccard verifier") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val j = Dedup.ngramJaccard(pairs, docs, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) == 0.0)
+  }
+
+  test("streaming sessionization matches batch on bounded input") {
+    val events = spark.read.parquet(s"$dir/events.parquet")
+    val batch = Sessionize.batch(events)
+      .select("user_id", "n_events", "t_start_us", "t_end_us")
+    val stream = Sessionize.batchEquivalentViaStreaming(spark, events)
+      .select("user_id", "n_events", "t_start_us", "t_end_us")
+    assert(batch.exceptAll(stream).count() == 0)
+    assert(stream.exceptAll(batch).count() == 0)
+  }
+
+  test("streaming flavor runs as a real structured stream (memory sink)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Sessionize.Ev]
+    val q = Sessionize.streaming(spark, input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // two sessions for user 7: gap > 30min between event 2 and 3
+      input.addData(
+        Sessionize.Ev(7, 1, 1000000L),
+        Sessionize.Ev(7, 2, 2000000L),
+        Sessionize.Ev(7, 3, 2000000L + Sessionize.GapUs + 1))
+      q.processAllAvailable()
+      // first session closed and emitted; second still open in state
+      val out = spark.sql("SELECT * FROM sessions_out").as[Sessionize.SessionOut].collect()
+      assert(out.length == 1)
+      assert(out(0).user_id == 7 && out(0).n_events == 2 && out(0).t_start_us == 1000000L)
+    } finally q.stop()
+  }
+
+  test("media stub: meta + frame-sampled features are deterministic and distributed") {
+    val media = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+    val meta = Media.extractMeta(media, "doc_id", "blob")
+    assert(meta.count() == 500)
+    assert(meta.filter(col("width") < 16 || col("width") >= 16 + 1017).count() == 0)
+    val feats = Media.extractFeatures(spark, media, "doc_id", "blob", dim = 16, frameStep = 8)
+    val f1 = feats.filter(col("media_id") === 7).collect()
+    val f2 = Media.extractFeatures(spark, media, "doc_id", "blob", dim = 16, frameStep = 8)
+      .filter(col("media_id") === 7).collect()
+    assert(f1.nonEmpty && f1.map(_.frame).toSet == f2.map(_.frame).toSet)
+    assert(f1.head.feature.length == 16)
+    // deterministic across runs
+    assert(f1.sortBy(_.frame).head.feature.toSeq == f2.sortBy(_.frame).head.feature.toSeq)
+  }
+
+  test("raster-vector tile join parses media refs to cells") {
+    import spark.implicits._
+    val docs = graft.sources.DocsTable.docs(spark, dir)
+    val media = docs.select(col("doc_id").as("ras_id"), explode(col("spans")).as("s"))
+      .filter(col("s.kind") === "media").select(col("ras_id"), col("s.media_ref").as("media_ref"))
+    val vec = graft.sources.Synth.points(spark, dir)
+      .select(col("pid").as("vec_id"), col("lon"), col("lat"))
+    val joined = Tiler.rasterVectorJoin(vec, media)
+    // every vector point meets at least its own doc's media span
+    assert(joined.count() >= vec.count())
+  }
+
+  test("multi-zoom tile rollup emits all requested zooms") {
+    val docs = graft.sources.DocsTable.docs(spark, dir)
+    val polys = graft.sources.DocsTable.extractGeometries(docs)
+      .filter(graft.functions.GeomFunctions.st_geomtype(col("geom")) === "Polygon")
+    val counts = Tiler.multiZoomCounts(polys, "doc_id", Seq(7, 9))
+    val zooms = counts.select("z").distinct().collect().map(_.getInt(0)).toSet
+    assert(zooms == Set(7, 9))
+  }
+}
