@@ -1,0 +1,338 @@
+package graft.core
+
+import graft.core.Geom._
+import graft.core.QuadEdge.{Edge, cmp => qcmp}
+import scala.collection.mutable
+
+/** Incremental Delaunay subdivision (Guibas–Stolfi InsertSite).
+  *
+  * Semantics from /root/reference/planar/triangulate/delaunay/subdivision/
+  * subdivision.go: vertices pre-rounded to 1e-3 (RoundingFactor=1000,
+  * subdivision_constrained.go:19-25), super-triangle frame
+  * (geom.NewTriangleForExtent, triangle.go:91-123, buff=10), locate via the
+  * paper's edge walk with a WalkAllEdges fallback, in-circle test via
+  * CircleFromPoints + Circle.ContainsPoint (circle.go:25-126, tolerance
+  * 1e-9), swap loop with the colinear RETRY guard (subdivision.go:330-420).
+  */
+final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)) {
+  var ptcount: Int = 3
+
+  import Subdivision._
+
+  private def locate(x: Pt): Option[Edge] =
+    Subdivision.locate(startingEdge, x, ptcount * 2)
+
+  /** reference subdivision.go:207-455 InsertSite (default y-up order). */
+  def insertSite(x: Pt): Boolean = {
+    ptcount += 1
+    var e = locate(x) match {
+      case Some(ed) => ed
+      case None     => return false
+    }
+
+    if (ptEqual(x, e) || ptEqualDest(x, e)) return true
+
+    if (QuadEdge.onEdge(x, e)) {
+      e = e.oPrev
+      if (ptEqual(x, e) || ptEqualDest(x, e)) return true
+      QuadEdge.delete(e.oNext)
+    }
+
+    var base = QuadEdge.newWithEndPoints(e.orig, x)
+    QuadEdge.splice(base, e)
+    val startEdge = base
+
+    base = QuadEdge.connect(e, base.sym, yPositiveDown = false)
+    e = base.oPrev
+    while (e.lNext ne startEdge) {
+      base = QuadEdge.connect(e, base.sym, yPositiveDown = false)
+      e = base.oPrev
+    }
+
+    // Delaunay swap loop
+    while (true) {
+      val t = e.oPrev
+      var containsPoint = false
+      if (!setOfThreeAreColinear(x, e.orig, e.dest, t.dest)) {
+        circleFromPoints(e.orig, t.dest, e.dest) match {
+          case Some(crl) => containsPoint = circleContainsPoint(crl, x)
+          case None      =>
+        }
+      }
+      // RETRY loop: a swap candidate whose neighborhood is colinear resets
+      // containsPoint and re-dispatches (subdivision.go RETRY label)
+      var retry = true
+      while (retry) {
+        retry = false
+        if (QuadEdge.rightOf(yPositiveDown = false, t.dest, e) && containsPoint) {
+          val a = e.oPrev
+          val b = e.sym.oPrev
+          if (Winding.threePointsAreColinear(e.dest, a.dest, b.dest)) {
+            containsPoint = false
+            retry = true
+          } else {
+            QuadEdge.swap(e)
+            e = e.oPrev
+          }
+        } else if (e.oNext eq startEdge) {
+          return true
+        } else {
+          e = e.oNext.lPrev
+        }
+      }
+    }
+    true
+  }
+
+  /** reference subdivision.go Triangles + WalkAllTriangles, frame excluded. */
+  def triangles(includeFrame: Boolean): IndexedSeq[(Pt, Pt, Pt)] = {
+    val out = Vector.newBuilder[(Pt, Pt, Pt)]
+    walkAllTriangles(startingEdge) { (start, mid, end) =>
+      if (includeFrame || !isFramePoint(frame, start, mid, end))
+        out += ((start, mid, end))
+      true
+    }
+    out.result()
+  }
+
+  def walkAllEdges(fn: Edge => Boolean): Unit = Subdivision.walkAllEdges(startingEdge, fn)
+}
+
+object Subdivision {
+
+  val RoundingFactor = 1000.0
+
+  /** reference subdivision_constrained.go:19-25 — Go math.Round is
+    * half-away-from-zero; −0 normalized for map-key parity with Go.
+    */
+  def roundPoint(p: Pt): Pt = {
+    var x = Geom.roundHalfAway(p._1 * RoundingFactor) / RoundingFactor
+    var y = Geom.roundHalfAway(p._2 * RoundingFactor) / RoundingFactor
+    if (x == 0.0) x = 0.0
+    if (y == 0.0) y = 0.0
+    (x, y)
+  }
+
+  private def ptEqual(x: Pt, e: Edge): Boolean =
+    e.origDefined && qcmp.pointEqual(x, e.orig)
+  private def ptEqualDest(x: Pt, e: Edge): Boolean =
+    e.destDefined && qcmp.pointEqual(x, e.dest)
+
+  /** reference subdivision.go:186-196 setOfThreeAreColinear — any of the
+    * four triples colinear by WINDING orientation (exact sign), not the
+    * area-tolerance test.
+    */
+  def setOfThreeAreColinear(p1: Pt, p2: Pt, p3: Pt, p4: Pt): Boolean =
+    Winding.ofPoints(Vector(p1, p2, p3)) == Winding.Colinear ||
+      Winding.ofPoints(Vector(p1, p2, p4)) == Winding.Colinear ||
+      Winding.ofPoints(Vector(p1, p3, p4)) == Winding.Colinear ||
+      Winding.ofPoints(Vector(p2, p3, p4)) == Winding.Colinear
+
+  /** reference circle.go:25-93 CircleFromPoints — exact branch structure. */
+  def circleFromPoints(a: Pt, b: Pt, c: Pt): Option[(Double, Double, Double)] = {
+    var xA = a._1; var yA = a._2
+    var xB = b._1; var yB = b._2
+    var xC = c._1; var yC = c._2
+    if (((yB - yA) * (xC - xB)) == ((yC - yB) * (xB - xA))) return None
+
+    var xDeltaA = xB - xA
+    var xDeltaB = xC - xB
+    var guard = 0
+    while ((xDeltaA == 0 || xDeltaB == 0) && guard < 4) {
+      val (nxA, nyA, nxB, nyB, nxC, nyC) = (xB, yB, xC, yC, xA, yA)
+      xA = nxA; yA = nyA; xB = nxB; yB = nyB; xC = nxC; yC = nyC
+      xDeltaA = xB - xA; xDeltaB = xC - xB
+      guard += 1
+    }
+    if (xDeltaA == 0 || xDeltaB == 0) return None // colinear degenerate
+
+    val yDeltaA = yB - yA
+    val yDeltaB = yC - yB
+    val midABx = (xA + xB) / 2; val midABy = (yA + yB) / 2
+    val midBCx = (xB + xC) / 2; val midBCy = (yB + yC) / 2
+
+    var x = 0.0; var y = 0.0
+    if (yDeltaA == 0 && xDeltaB == 0) { x = midABx; y = midBCy }
+    else if (yDeltaA == 0) {
+      val slopeB = yDeltaB / xDeltaB
+      x = midABx
+      y = midBCy + ((midBCx - x) / slopeB)
+    } else if (yDeltaB == 0 && xDeltaA == 0) { x = midBCx; y = midABy }
+    else if (yDeltaB == 0) {
+      val slopeA = yDeltaA / xDeltaA
+      x = midBCx
+      y = midABy + (midABx - x) / slopeA
+    } else if (xDeltaA == 0) {
+      val slopeB = yDeltaB / xDeltaB
+      y = midBCy
+      x = slopeB * (midBCy - y) + midBCx
+    } else if (xDeltaB == 0) {
+      val slopeA = yDeltaA / xDeltaA
+      y = midBCy
+      x = slopeA * (midABy - y) + midABx
+    } else {
+      val slopeA = yDeltaA / xDeltaA
+      val slopeB = yDeltaB / xDeltaB
+      x = ((slopeA * slopeB * (yA - yC)) + (slopeB * (xA + xB)) - (slopeA * (xB + xC))) /
+        (2 * (slopeB - slopeA))
+      y = (-1 / slopeA) * (x - (xA + xB) * 0.5) + ((yA + yB) * 0.5)
+    }
+    val vA = x - xA; val vB = y - yA
+    Some((x, y, math.sqrt(vA * vA + vB * vB)))
+  }
+
+  /** reference circle.go:119-126 ContainsPoint (1e-9 tolerance). */
+  def circleContainsPoint(c: (Double, Double, Double), pt: Pt): Boolean = {
+    val v1 = c._1 - pt._1; val v2 = c._2 - pt._2
+    val d = math.sqrt(v1 * v1 + v2 * v2)
+    Cmp.HiCmp.float(c._3, d) || c._3 > d
+  }
+
+  /** reference triangle.go:91-123 NewTriangleForExtent, buff = 10. */
+  def triangleContaining(ext: Extent): (Pt, Pt, Pt) = {
+    val buff = 10.0
+    val xlen = ext.maxx - ext.minx
+    val ylen = ext.maxy - ext.miny
+    val x2len = xlen / 2
+    val nx = ext.minx - (x2len * buff) - buff
+    val cx = ext.minx + x2len
+    val xx = ext.maxx + (x2len * buff) + buff
+    val ny = ext.miny - (ylen * buff) - buff
+    val xy = ext.maxy + (2 * ylen * buff) + buff
+    ((nx, ny), (cx, xy), (xx, ny))
+  }
+
+  /** reference subdivision.go New — initial frame triangle. */
+  def ofFrame(a: Pt, b: Pt, c: Pt): Subdivision = {
+    val ea = QuadEdge.newEdge()
+    ea.setEndPoints(a, b)
+    val eb = QuadEdge.newEdge()
+    QuadEdge.splice(ea.sym, eb)
+    eb.setEndPoints(b, c)
+    val ec = QuadEdge.newEdge()
+    ec.setEndPoints(c, a)
+    QuadEdge.splice(eb.sym, ec)
+    QuadEdge.splice(ec.sym, ea)
+    val center = Planar.triangleCenter(a, b, c)
+    val se = QuadEdge.resolveEdge(yPositiveDown = false, ea, center) match {
+      case Right(e)     => e
+      case Left((e, _)) => if (e != null) e else ea
+    }
+    new Subdivision(se, (a, b, c))
+  }
+
+  /** reference subdivision.go:96-183 NewForPoints: round, frame, insert
+    * each unseen point (exact-key dedupe like the Go map on geom.Point).
+    */
+  def forPoints(points: IndexedSeq[Pt]): Option[Subdivision] = {
+    if (points.isEmpty) return None
+    val rounded = points.map(roundPoint)
+    Extent.ofPoints(rounded) match {
+      case None => None
+      case Some(ext) =>
+        val (a, b, c) = triangleContaining(ext)
+        val sd = ofFrame(a, b, c)
+        val seen = mutable.HashSet[Pt](a, b, c)
+        val it = rounded.iterator
+        while (it.hasNext) {
+          val pt = it.next()
+          if (!seen.contains(pt)) {
+            seen += pt
+            if (!sd.insertSite(pt)) return None // reference errors out
+          }
+        }
+        Some(sd)
+    }
+  }
+
+  /** reference subdivision.go locate + testEdge. */
+  private[core] def locate(se0: Edge, x: Pt, limit: Int): Option[Edge] = {
+    val se = QuadEdge.resolveEdge(yPositiveDown = false, se0, x) match {
+      case Right(e)     => e
+      case Left((e, _)) => if (e != null) e else se0
+    }
+
+    def testEdge(e: Edge): (Edge, Boolean) = {
+      if (ptEqual(x, e) || ptEqualDest(x, e)) (e, true)
+      else if (QuadEdge.rightOf(yPositiveDown = false, x, e)) (e.sym, false)
+      else if (!QuadEdge.rightOf(yPositiveDown = false, x, e.oNext)) (e.oNext, false)
+      else if (!QuadEdge.rightOf(yPositiveDown = false, x, e.dPrev)) (e.dPrev, false)
+      else (e, true)
+    }
+
+    var (e, ok) = testEdge(se)
+    var count = 0
+    while (!ok) {
+      count += 1
+      if ((e eq se) || count > limit) {
+        // fallback: scan every edge (reference locate WalkAllEdges path)
+        var found: Edge = null
+        walkAllEdges(se, { ee =>
+          val (_, ok2) = testEdge(ee)
+          if (ok2) { found = ee; false } else true
+        })
+        return Option(found)
+      }
+      val r = testEdge(e)
+      e = r._1
+      ok = r._2
+    }
+    Some(e)
+  }
+
+  /** reference subdivision.go:558-588 WalkAllEdges (stack DFS over groups);
+    * fn returns false to stop.
+    */
+  def walkAllEdges(se: Edge, fn: Edge => Boolean): Unit = {
+    if (se == null) return
+    val toProcess = mutable.Stack[Edge](se)
+    val visited = new java.util.IdentityHashMap[Edge, Boolean]()
+    while (toProcess.nonEmpty) {
+      val e = toProcess.pop()
+      if (!visited.containsKey(e)) {
+        if (!fn(e)) return
+        val sym = e.sym
+        toProcess.push(e.oNext)
+        toProcess.push(sym.oNext)
+        visited.put(e, true)
+        visited.put(sym, true)
+      }
+    }
+  }
+
+  def isFramePoint(frame: (Pt, Pt, Pt), pts: Pt*): Boolean =
+    pts.exists(p => qcmp.pointEqual(p, frame._1) || qcmp.pointEqual(p, frame._2) ||
+      qcmp.pointEqual(p, frame._3))
+
+  /** reference subdivision.go:620-684 WalkAllTriangles. */
+  def walkAllTriangles(se: Edge)(fn: (Pt, Pt, Pt) => Boolean): Unit = {
+    if (se == null) return
+    val edgeStack = mutable.ArrayBuffer[Edge](se)
+    val seenVertices = mutable.HashSet[Pt]()
+
+    while (edgeStack.nonEmpty) {
+      val startingEdge = edgeStack.remove(edgeStack.length - 1)
+      val startPoint = startingEdge.orig
+      if (!seenVertices.contains(startPoint)) {
+        seenVertices += startPoint
+        var workingEdge = startingEdge
+        var nextEdge = startingEdge.oNext
+        if (workingEdge ne nextEdge) {
+          var done = false
+          while (!done) {
+            val endPoint = nextEdge.dest
+            val midPoint = workingEdge.dest
+            if (!seenVertices.contains(endPoint) && !seenVertices.contains(midPoint)) {
+              edgeStack += workingEdge.sym
+              if (workingEdge.sym.findONextDest(endPoint) != null &&
+                  !fn(startPoint, midPoint, endPoint)) return
+            }
+            workingEdge = nextEdge
+            nextEdge = workingEdge.oNext
+            if (workingEdge eq startingEdge) done = true
+          }
+        }
+      }
+    }
+  }
+}
