@@ -251,6 +251,31 @@ object SparkEntry {
       graft.operators.Media.extractMeta(media, "doc_id", "blob")
     }),
 
+    "q29_makevalid" -> ((s, dir) => {
+      val docs = DocsTable.docs(s, dir)
+      val polys = DocsTable.extractGeometries(docs)
+        .filter(st_geomtype(col("geom")) === "Polygon")
+      val nan = lit(Double.NaN)
+      polys.select(col("doc_id"),
+        st_makevalid(col("geom"), nan, nan, nan, nan).as("fixed"))
+        .select(col("doc_id"),
+          st_geomtype(col("fixed")).as("gtype"),
+          st_num_points(col("fixed")).as("npts"))
+    }),
+
+    "q30_mvt_prepare" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .withColumn("cell", st_cell_at(col("lon"), col("lat"), lit(9)))
+        .withColumn("prep", st_prepare_tile(st_point(col("lon"), col("lat")), col("cell")))
+        .select(col("pid"), st_x(col("prep")).as("px"), st_y(col("prep")).as("py"))
+    }),
+
+    "q31_geojson_roundtrip" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .withColumn("g", st_geomfromgeojson(st_asgeojson(st_point(col("lon"), col("lat")))))
+        .select(col("pid"), st_x(col("g")).as("x"), st_y(col("g")).as("y"))
+    }),
+
     "q28_lang_score" -> ((s, dir) => {
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       // " word " (len+2) → " x" (2): length drops by len(word) per hit
@@ -425,6 +450,25 @@ object SparkEntry {
       "CAST((length(pad) - length(regexp_replace(pad, ' of ', ' x', 'g'))) / 2 AS BIGINT) + " +
       "CAST((length(pad) - length(regexp_replace(pad, ' to ', ' x', 'g'))) / 2 AS BIGINT) AS stop_hits FROM p) " +
       "SELECT doc_id, n_tokens, stop_hits, CAST(stop_hits AS DOUBLE) / n_tokens AS score, " +
-      "(CAST(stop_hits AS DOUBLE) / n_tokens) >= 0.05 AS is_en FROM h")
+      "(CAST(stop_hits AS DOUBLE) / n_tokens) >= 0.05 AS is_en FROM h"),
+
+    // valid box polygons repair to themselves (1 polygon, 4 points);
+    // bow-ties split into two triangles (6 points total)
+    "q29_makevalid" ->
+      (s"WITH $P SELECT 'doc-' || lpad(CAST(pid AS VARCHAR), 12, '0') AS doc_id, " +
+      "'MultiPolygon' AS gtype, CASE WHEN pid % 194 = 0 THEN 6 ELSE 4 END AS npts " +
+      "FROM pts WHERE pid % 97 = 0"),
+
+    "q30_mvt_prepare" ->
+      (s"WITH $P, t AS (SELECT pid, lon, lat, ${Synth.lon2TileSql("lon", 9)} AS x, ${Synth.lat2TileSql("lat", 9)} AS y FROM pts), " +
+      "e AS (SELECT pid, lon, lat, ((CAST(x AS DOUBLE) / 512.0) * 360.0) - 180.0 AS tminx, " +
+      "((CAST(x + 1 AS DOUBLE) / 512.0) * 360.0) - 180.0 AS tmaxx, " +
+      "(180.0 / pi()) * atan(0.5 * (exp(pi() - ((2.0 * pi()) * y) / 512.0) - exp(-(pi() - ((2.0 * pi()) * y) / 512.0)))) AS tmaxy, " +
+      "(180.0 / pi()) * atan(0.5 * (exp(pi() - ((2.0 * pi()) * (y + 1)) / 512.0) - exp(-(pi() - ((2.0 * pi()) * (y + 1)) / 512.0)))) AS tminy FROM t) " +
+      "SELECT pid, CAST(trunc(((lon - tminx) / (tmaxx - tminx)) * 4096.0) AS DOUBLE) AS px, " +
+      "CAST(trunc(((tmaxy - lat) / (tmaxy - tminy)) * 4096.0) AS DOUBLE) AS py FROM e"),
+
+    "q31_geojson_roundtrip" ->
+      s"WITH $P SELECT pid, lon AS x, lat AS y FROM pts"
   )
 }

@@ -1,0 +1,143 @@
+package graft.core
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** Mapbox Vector Tile (vector_tile.proto v2.1) container assembly —
+  * layers / features / key-value dedup maps — with a hand-rolled protobuf
+  * wire writer (varint + length-delimited only; the whole schema needs
+  * nothing else). Semantics from /root/reference/encoding/mvt/
+  * {layer,tile}.go and feature.go:360-702 (keyvalMapsFromFeatures:
+  * keys/values deduped ACROSS features within a layer, tag indices refer
+  * into those maps).
+  */
+object MvtTile {
+
+  final case class Feature(id: Long, geomType: Int, geometry: IndexedSeq[Long],
+                           properties: IndexedSeq[(String, String)] = Vector.empty)
+  final case class Layer(name: String, features: IndexedSeq[Feature],
+                         extent: Int = 4096, version: Int = 2)
+
+  // ---- protobuf wire primitives ----
+
+  private final class Writer {
+    val buf = new ArrayBuffer[Byte](256)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7FL) != 0) {
+        buf += ((v & 0x7F) | 0x80).toByte
+        v >>>= 7
+      }
+      buf += (v & 0x7F).toByte
+    }
+    def tag(field: Int, wire: Int): Unit = varint((field << 3) | wire)
+    def bytesField(field: Int, b: Array[Byte]): Unit = {
+      tag(field, 2); varint(b.length); buf ++= b
+    }
+    def stringField(field: Int, s: String): Unit =
+      bytesField(field, s.getBytes("UTF-8"))
+    def varintField(field: Int, v: Long): Unit = { tag(field, 0); varint(v) }
+    def packedField(field: Int, vs: IndexedSeq[Long]): Unit = {
+      if (vs.isEmpty) return
+      val inner = new Writer
+      vs.foreach(inner.varint)
+      bytesField(field, inner.result())
+    }
+    def result(): Array[Byte] = buf.toArray
+  }
+
+  /** Value message holding a string (field 1). */
+  private def encodeValue(s: String): Array[Byte] = {
+    val w = new Writer
+    w.stringField(1, s)
+    w.result()
+  }
+
+  private def encodeFeature(f: Feature, tags: IndexedSeq[Long]): Array[Byte] = {
+    val w = new Writer
+    if (f.id != 0) w.varintField(1, f.id)
+    w.packedField(2, tags)
+    w.varintField(3, f.geomType.toLong)
+    w.packedField(4, f.geometry)
+    w.result()
+  }
+
+  /** layer encode with cross-feature key/value dedup
+    * (reference feature.go keyvalMapsFromFeatures + tags).
+    */
+  def encodeLayer(layer: Layer): Array[Byte] = {
+    val keyIdx = mutable.LinkedHashMap[String, Int]()
+    val valIdx = mutable.LinkedHashMap[String, Int]()
+    val featureTags = layer.features.map { f =>
+      f.properties.flatMap { case (k, v) =>
+        val ki = keyIdx.getOrElseUpdate(k, keyIdx.size)
+        val vi = valIdx.getOrElseUpdate(v, valIdx.size)
+        Seq(ki.toLong, vi.toLong)
+      }
+    }
+    val w = new Writer
+    w.varintField(15, layer.version.toLong)
+    w.stringField(1, layer.name)
+    layer.features.zip(featureTags).foreach { case (f, tags) =>
+      w.bytesField(2, encodeFeature(f, tags))
+    }
+    keyIdx.keys.foreach(k => w.stringField(3, k))
+    valIdx.keys.foreach(v => w.bytesField(4, encodeValue(v)))
+    w.varintField(5, layer.extent.toLong)
+    w.result()
+  }
+
+  /** Tile: repeated Layer layers = 3. */
+  def encodeTile(layers: IndexedSeq[Layer]): Array[Byte] = {
+    val w = new Writer
+    layers.foreach(l => w.bytesField(3, encodeLayer(l)))
+    w.result()
+  }
+
+  // ---- minimal decode (round-trip testing only) ----
+
+  def decodeTileLayerNames(bytes: Array[Byte]): IndexedSeq[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    def varint(): Long = {
+      var shift = 0; var v = 0L
+      var b = 0
+      do {
+        b = bytes(i) & 0xFF; i += 1
+        v |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    while (i < bytes.length) {
+      val t = varint()
+      val field = (t >> 3).toInt
+      val wire = (t & 7).toInt
+      if (field == 3 && wire == 2) {
+        val len = varint().toInt
+        val layerBytes = bytes.slice(i, i + len)
+        i += len
+        // scan the layer for its name (field 1)
+        var j = 0
+        def lvarint(): Long = {
+          var shift = 0; var v = 0L; var b = 0
+          do { b = layerBytes(j) & 0xFF; j += 1; v |= (b & 0x7FL) << shift; shift += 7 }
+          while ((b & 0x80) != 0)
+          v
+        }
+        var found = false
+        while (j < layerBytes.length && !found) {
+          val lt = lvarint()
+          val lf = (lt >> 3).toInt; val lw = (lt & 7).toInt
+          if (lf == 1 && lw == 2) {
+            val l = lvarint().toInt
+            out += new String(layerBytes.slice(j, j + l), "UTF-8")
+            found = true
+          } else if (lw == 0) lvarint()
+          else if (lw == 2) { val l = lvarint().toInt; j += l }
+        }
+      } else if (wire == 0) varint()
+      else if (wire == 2) { val len = varint().toInt; i += len }
+    }
+    out.result()
+  }
+}

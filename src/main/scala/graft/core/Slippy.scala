@@ -151,6 +151,63 @@ object Slippy {
     ext.xSpan / tileDim.toDouble
   }
 
+  // ---- EPSG:3857 (spherical web-mercator) grid ----
+  // The reference routes non-4326 grids through go-spatial/proj
+  // (tile_grid.go:109-121); we hand-port the spherical Mercator
+  // forward/inverse (the only projection its cmd + tests use).
+
+  val EarthRadius = 6378137.0
+
+  /** lon/lat (4326) → web-mercator meters. */
+  def lonLatToMerc(lon: Double, lat: Double): (Double, Double) = {
+    val x = EarthRadius * deg2rad(lon)
+    val y = EarthRadius * math.log(math.tan(math.Pi / 4 + deg2rad(lat) / 2))
+    (x, y)
+  }
+
+  /** web-mercator meters → lon/lat (4326). */
+  def mercToLonLat(x: Double, y: Double): (Double, Double) = {
+    val lon = rad2deg(x / EarthRadius)
+    val lat = rad2deg(2 * math.atan(math.exp(y / EarthRadius)) - math.Pi / 2)
+    (lon, lat)
+  }
+
+  /** FromNative for the 3857 grid (reference tile_grid.go:96-108:
+    * inverse-project to 4326 then the shared lon2Num/lat2Num).
+    */
+  def cellAt3857(z: Int, mx: Double, my: Double): Long = {
+    val (lon, lat) = mercToLonLat(mx, my)
+    cellAt(z, lon, lat)
+  }
+
+  /** tile extent in web-mercator meters. */
+  def tileExtent3857(z: Int, x: Int, y: Int): Extent = {
+    val e = tileExtent4326(z, x, y)
+    val (minx, miny) = lonLatToMerc(e.minx, e.miny)
+    val (maxx, maxy) = lonLatToMerc(e.maxx, e.maxy)
+    Extent(math.min(minx, maxx), math.min(miny, maxy),
+           math.max(minx, maxx), math.max(miny, maxy))
+  }
+
+  /** FromBounds over the 3857 grid (corner cells normalized, dense loop). */
+  def fromBounds3857(z: Int, minX: Double, minY: Double,
+                     maxX: Double, maxY: Double): IndexedSeq[Long] = {
+    val c1 = cellAt3857(z, minX, minY)
+    val c2 = cellAt3857(z, maxX, maxY)
+    val (x1, x2) = (unpackX(c1), unpackX(c2))
+    val (y1, y2) = (unpackY(c1), unpackY(c2))
+    val (lox, hix) = (math.min(x1, x2), math.max(x1, x2))
+    val (loy, hiy) = (math.min(y1, y2), math.max(y1, y2))
+    val out = Vector.newBuilder[Long]
+    var x = lox
+    while (x <= hix) {
+      var y = loy
+      while (y <= hiy) { out += pack(z, x, y); y += 1 }
+      x += 1
+    }
+    out.result()
+  }
+
   /** reference tile_grid.go:60-95 NewTileMinMaxer — smallest tile whose
     * extent contains the given extent, walking z = 22 → 0 via FamilyAt.
     */

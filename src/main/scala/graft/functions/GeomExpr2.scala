@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+import graft.core.Geom._
+import GeomExpr._
+
+/** makevalid — constrained-Delaunay polygon repair as a scalar operator:
+  * sequential per row, parallelism comes from rows
+  * (reference planar/makevalid/makevalid.go:190-235; SURVEY.md §2.7).
+  * NaN clip coordinates mean "no clipbox" (the reference's nil-extent-as-
+  * universe convention, bbox.go:27-29).
+  */
+case class StMakeValid(geo: Expression, c1: Expression, c2: Expression,
+                       c3: Expression, c4: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def children: Seq[Expression] = Seq(geo, c1, c2, c3, c4)
+  override def dataType: DataType = BinaryType
+
+  override protected def evalN(v: Array[Any]): Any = {
+    val ds = (1 to 4).map(i => v(i).asInstanceOf[Double])
+    val clip =
+      if (ds.exists(_.isNaN)) None
+      else Some(Extent(ds(0), ds(1), ds(2), ds(3)))
+    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    try MakeValid.geometry(g, clip) match {
+      case Some(res) => Wkb.encode(res)
+      case None      => null
+    } catch { case _: Exception => null }
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
+/** project geometry into tile pixel space (reference mvt/prepare.go). */
+case class StPrepareTile(geo: Expression, cell: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(BinaryType, LongType)
+  override def children: Seq[Expression] = Seq(geo, cell)
+  override def dataType: DataType = BinaryType
+  protected def evalN(v: Array[Any]): Any = {
+    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    val c = v(1).asInstanceOf[Long]
+    val ext = Slippy.tileExtent4326(Slippy.unpackZ(c), Slippy.unpackX(c).toInt,
+      Slippy.unpackY(c).toInt)
+    Wkb.encode(Mvt.prepareGeo(g, ext))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
+}
+
+/** MVT command stream of a tile-space geometry (reference mvt/feature.go):
+  * struct(commands array<long> of uint32 values, geom_type int).
+  */
+case class StMvtGeometry(geo: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(BinaryType)
+  override def children: Seq[Expression] = Seq(geo)
+  override def dataType: DataType = StructType(Seq(
+    StructField("commands", ArrayType(LongType, containsNull = false), false),
+    StructField("geom_type", IntegerType, false)))
+  protected def evalN(v: Array[Any]): Any = {
+    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    val (cmds, tpe) = Mvt.encodeGeometry(g)
+    row(new GenericArrayData(cmds.toArray), tpe)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** WKB → GeoJSON text (reference encoding/geojson). */
+case class StAsGeoJson(geo: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(BinaryType)
+  override def children: Seq[Expression] = Seq(geo)
+  override def dataType: DataType = StringType
+  protected def evalN(v: Array[Any]): Any = {
+    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) null else utf8(GeoJson.encode(g))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
+/** GeoJSON text → WKB (null on parse failure). */
+case class StGeomFromGeoJson(child: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(StringType)
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  protected def evalN(v: Array[Any]): Any =
+    try Wkb.encode(GeoJson.decode(v(0).asInstanceOf[UTF8String].toString))
+    catch { case _: Exception => null }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}

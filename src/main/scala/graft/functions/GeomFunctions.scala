@@ -73,6 +73,13 @@ object GeomFunctions {
                 x3: Column, y3: Column): Column =
     col(StOrient(ex(x1), ex(y1), ex(x2), ex(y2), ex(x3), ex(y3)))
 
+  def st_makevalid(geo: Column, minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    col(StMakeValid(ex(geo), ex(minx), ex(miny), ex(maxx), ex(maxy)))
+  def st_prepare_tile(geo: Column, cell: Column): Column = col(StPrepareTile(ex(geo), ex(cell)))
+  def st_mvt_geometry(geo: Column): Column = col(StMvtGeometry(ex(geo)))
+  def st_asgeojson(geo: Column): Column = col(StAsGeoJson(ex(geo)))
+  def st_geomfromgeojson(text: Column): Column = col(StGeomFromGeoJson(ex(text)))
+
   // text analysis
   def doc_fingerprint(text: Column): Column = col(StFingerprint(ex(text)))
   def minhash(text: Column, numPerms: Column): Column = col(StMinHash(ex(text), ex(numPerms)))
@@ -117,6 +124,11 @@ object GeomFunctions {
     "st_seg_intersect" ->
       (a => StSegIntersect(a(0), a(1), a(2), a(3), a(4), a(5), a(6), a(7))),
     "st_orient" -> (a => StOrient(a(0), a(1), a(2), a(3), a(4), a(5))),
+    "st_makevalid" -> (a => StMakeValid(a(0), a(1), a(2), a(3), a(4))),
+    "st_prepare_tile" -> (a => StPrepareTile(a(0), a(1))),
+    "st_mvt_geometry" -> (a => StMvtGeometry(a(0))),
+    "st_asgeojson" -> (a => StAsGeoJson(a(0))),
+    "st_geomfromgeojson" -> (a => StGeomFromGeoJson(a(0))),
     "doc_fingerprint" -> (a => StFingerprint(a(0))),
     "minhash" -> (a => StMinHash(a(0), a(1))),
     "simhash" -> (a => StSimHash(a(0))),

@@ -47,6 +47,35 @@ object Tiler {
         st_cell_y(col("cell")).as("y"), col("n_features"))
   }
 
+  /** Full MVT tile sink: geometries → per-tile protobuf bytes.
+    * Pipeline: envelope tile assignment (explode) → per-row tile-space
+    * projection + command-stream encode (scalar expressions, codegen
+    * pipeline, no shuffle) → ONE shuffle grouping by the packed cell id →
+    * layer/tile assembly per group. Emits (z, x, y, mvt binary).
+    */
+  def mvtTiles(spark: org.apache.spark.sql.SparkSession, geoms: DataFrame,
+               idCol: String, z: Int, layerName: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.{MvtTile, Slippy}
+    val assigned = assignTiles(geoms, idCol, z)
+      .join(geoms, Seq(idCol))
+      .withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
+      .withColumn("mvt", st_mvt_geometry(col("prep")))
+      .select(col("cell"), col(idCol).cast("string").as("fid"),
+        col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype"))
+      .as[(Long, String, Array[Long], Int)]
+    assigned.groupByKey(_._1)
+      .mapGroups { (cell, rows) =>
+        val feats = rows.zipWithIndex.map { case ((_, fid, cmds, gt), i) =>
+          MvtTile.Feature(i + 1L, gt, cmds.toIndexedSeq,
+            Vector("fid" -> fid))
+        }.toIndexedSeq
+        val bytes = MvtTile.encodeTile(Vector(MvtTile.Layer(layerName, feats)))
+        (Slippy.unpackZ(cell), Slippy.unpackX(cell), Slippy.unpackY(cell), bytes)
+      }
+      .toDF("z", "x", "y", "mvt")
+  }
+
   /** Raster↔vector join: vector points keyed by their z15 cell meet media
     * spans keyed by the tile encoded in their media_ref
     * ("media://tile/{z}/{x}/{y}#{n}").

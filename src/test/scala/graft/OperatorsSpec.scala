@@ -159,6 +159,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(joined.count() >= vec.count())
   }
 
+  test("mvt tile sink emits decodable per-tile protobuf") {
+    import graft.core.MvtTile
+    val docs = graft.sources.DocsTable.docs(spark, dir)
+    val polys = graft.sources.DocsTable.extractGeometries(docs)
+      .filter(graft.functions.GeomFunctions.st_geomtype(col("geom")) === "Polygon")
+    val tiles = Tiler.mvtTiles(spark, polys, "doc_id", z = 7, layerName = "geoms")
+    val rows = tiles.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("mvt")
+      assert(bytes.nonEmpty)
+      assert(MvtTile.decodeTileLayerNames(bytes) == Vector("geoms"), "layer name round-trips")
+      assert(r.getAs[Int]("z") == 7)
+    }
+  }
+
+  test("mvt layer key/value dedup across features") {
+    import graft.core.MvtTile._
+    val layer = Layer("t", Vector(
+      Feature(1, 3, Vector(9L, 0L, 0L, 15L), Vector("kind" -> "a", "src" -> "x")),
+      Feature(2, 3, Vector(9L, 2L, 2L, 15L), Vector("kind" -> "a", "src" -> "y"))))
+    val bytes = encodeLayer(layer)
+    // "kind", "src" and "a" must appear exactly once in the wire bytes
+    def countOf(s: String): Int = {
+      val needle = s.getBytes("UTF-8")
+      bytes.sliding(needle.length).count(_.sameElements(needle))
+    }
+    assert(countOf("kind") == 1 && countOf("src") == 1 && countOf("a") == 1)
+  }
+
   test("multi-zoom tile rollup emits all requested zooms") {
     val docs = graft.sources.DocsTable.docs(spark, dir)
     val polys = graft.sources.DocsTable.extractGeometries(docs)

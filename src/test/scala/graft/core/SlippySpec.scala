@@ -104,6 +104,21 @@ class SlippySpec extends AnyFunSuite {
       "tegola_issue_997_w_seeding_bounds.coords")
   }
 
+  test("FromBounds in EPSG:3857 matches the 4326 golden fixture (tile_test.go SRID 3857 case)") {
+    val got = fromBounds3857(7, 293518.1886, 6555239.5457, 847533.7696, 7136160.9607)
+      .map(c => (unpackZ(c), unpackX(c), unpackY(c))).toSet
+    val want = loadCoords("tegola_issue_997.coords")
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+  }
+
+  test("mercator forward/inverse round trip") {
+    for ((lon, lat) <- Seq((-117.15, 32.69), (2.6367, 50.625), (0.0, 0.0), (179.0, 80.0))) {
+      val (x, y) = lonLatToMerc(lon, lat)
+      val (lon2, lat2) = mercToLonLat(x, y)
+      assert(math.abs(lon - lon2) < 1e-9 && math.abs(lat - lat2) < 1e-9, s"$lon $lat")
+    }
+  }
+
   test("tile extent inverse of cellAt") {
     val z = 11
     val (lon, lat) = (-77.035915, 38.889814)
