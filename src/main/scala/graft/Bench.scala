@@ -16,7 +16,12 @@ object Bench {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators may cache intermediates (e.g. the kNN candidate set);
+      // drop them so queries are measured cold and memory doesn't leak
+      // across the run
+      spark.catalog.clearCache()
+      name -> dt
     }
   }
 

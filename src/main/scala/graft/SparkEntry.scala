@@ -142,16 +142,12 @@ object SparkEntry {
     }),
 
     "q12_knn" -> ((s, dir) => {
+      // the cell-pruned operator is exactly the brute-force result the
+      // DuckDB oracle computes (certified by construction; see Knn)
       val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
       val qs = pts.filter(col("pid") % 2999 === 0)
         .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
-      val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
-        (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
-      pts.join(broadcast(qs), col("qid") =!= col("pid"))
-        .select(col("qid"), col("pid").as("nid"), d2.as("dist2"))
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
+      graft.operators.Knn.knnJoin(qs, pts, k = 3, z = graft.operators.Knn.zoomFor(pts.count()))
     }),
 
     // ---- geometry accessors over built polygons ----
@@ -212,7 +208,7 @@ object SparkEntry {
       val qs = pts
         .filter(col("lon") >= -30 && col("lon") <= 30 && col("lat") >= 0 && col("lat") <= 40)
         .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
-      graft.operators.Knn.knnJoin(qs, pts, k = 3, z = 6)
+      graft.operators.Knn.knnJoin(qs, pts, k = 3, z = graft.operators.Knn.zoomFor(pts.count()))
     }),
 
     "q22_tiler_assign" -> ((s, dir) => {

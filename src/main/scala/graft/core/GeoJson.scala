@@ -16,57 +16,78 @@ object GeoJson {
 
   private val mapper = new ObjectMapper()
 
-  // ---------- encode ----------
+  // ---------- encode (StringBuilder — the hot path in span extraction) ----
 
-  private def coords(node: ArrayNode, p: Pt): Unit = {
-    val a = node.addArray()
-    a.add(p._1); a.add(p._2)
+  private def coords(b: StringBuilder, p: Pt): Unit = {
+    b.append('[').append(p._1).append(',').append(p._2).append(']')
   }
 
-  private def coordSeq(node: ArrayNode, pts: IndexedSeq[Pt]): Unit =
-    pts.foreach(coords(node, _))
-
-  private def closedRing(node: ArrayNode, ring: IndexedSeq[Pt]): Unit = {
-    coordSeq(node, ring)
-    if (ring.nonEmpty && ring.head != ring.last) coords(node, ring.head)
-  }
-
-  def encodeNode(g: Geometry): ObjectNode = {
-    val o = mapper.createObjectNode()
-    g match {
-      case GPoint(p) =>
-        o.put("type", "Point")
-        val c = o.putArray("coordinates"); c.add(p._1); c.add(p._2)
-      case GMultiPoint(ps) =>
-        o.put("type", "MultiPoint")
-        coordSeq(o.putArray("coordinates"), ps)
-      case GLineString(ps) =>
-        o.put("type", "LineString")
-        coordSeq(o.putArray("coordinates"), ps)
-      case GMultiLineString(ls) =>
-        o.put("type", "MultiLineString")
-        val c = o.putArray("coordinates")
-        ls.foreach(l => coordSeq(c.addArray(), l))
-      case GPolygon(rs) =>
-        o.put("type", "Polygon")
-        val c = o.putArray("coordinates")
-        rs.foreach(r => closedRing(c.addArray(), r))
-      case GMultiPolygon(mp) =>
-        o.put("type", "MultiPolygon")
-        val c = o.putArray("coordinates")
-        mp.foreach { poly =>
-          val pn = c.addArray()
-          poly.foreach(r => closedRing(pn.addArray(), r))
-        }
-      case GCollection(gs) =>
-        o.put("type", "GeometryCollection")
-        val arr = o.putArray("geometries")
-        gs.foreach(gg => arr.add(encodeNode(gg)))
+  private def coordSeq(b: StringBuilder, pts: IndexedSeq[Pt]): Unit = {
+    b.append('[')
+    var i = 0
+    while (i < pts.length) {
+      if (i > 0) b.append(',')
+      coords(b, pts(i))
+      i += 1
     }
-    o
+    b.append(']')
   }
 
-  def encode(g: Geometry): String = mapper.writeValueAsString(encodeNode(g))
+  private def closedRing(b: StringBuilder, ring: IndexedSeq[Pt]): Unit = {
+    b.append('[')
+    var i = 0
+    while (i < ring.length) {
+      if (i > 0) b.append(',')
+      coords(b, ring(i))
+      i += 1
+    }
+    if (ring.nonEmpty && ring.head != ring.last) { b.append(','); coords(b, ring.head) }
+    b.append(']')
+  }
+
+  private def ringSeq(b: StringBuilder, rings: IndexedSeq[IndexedSeq[Pt]]): Unit = {
+    b.append('[')
+    var i = 0
+    while (i < rings.length) {
+      if (i > 0) b.append(',')
+      closedRing(b, rings(i))
+      i += 1
+    }
+    b.append(']')
+  }
+
+  private def encodeInto(b: StringBuilder, g: Geometry): Unit = g match {
+    case GPoint(p) =>
+      b.append("""{"type":"Point","coordinates":""")
+      coords(b, p); b.append('}')
+    case GMultiPoint(ps) =>
+      b.append("""{"type":"MultiPoint","coordinates":""")
+      coordSeq(b, ps); b.append('}')
+    case GLineString(ps) =>
+      b.append("""{"type":"LineString","coordinates":""")
+      coordSeq(b, ps); b.append('}')
+    case GMultiLineString(ls) =>
+      b.append("""{"type":"MultiLineString","coordinates":[""")
+      for (i <- ls.indices) { if (i > 0) b.append(','); coordSeq(b, ls(i)) }
+      b.append("]}")
+    case GPolygon(rs) =>
+      b.append("""{"type":"Polygon","coordinates":""")
+      ringSeq(b, rs); b.append('}')
+    case GMultiPolygon(mp) =>
+      b.append("""{"type":"MultiPolygon","coordinates":[""")
+      for (i <- mp.indices) { if (i > 0) b.append(','); ringSeq(b, mp(i)) }
+      b.append("]}")
+    case GCollection(gs) =>
+      b.append("""{"type":"GeometryCollection","geometries":[""")
+      for (i <- gs.indices) { if (i > 0) b.append(','); encodeInto(b, gs(i)) }
+      b.append("]}")
+  }
+
+  def encode(g: Geometry): String = {
+    val b = new StringBuilder(64)
+    encodeInto(b, g)
+    b.toString
+  }
 
   // ---------- decode ----------
 

@@ -148,6 +148,32 @@ object Planar {
     ((bx, by), u >= 0.0 && u <= 1.0 && t >= 0.0 && t <= 1.0)
   }
 
+  /** reference planar/line_helpers.go:10-16 — canonical segment direction
+    * (least point first by exact x-then-y order).
+    */
+  def normalizeLine(l: Seg): Seg =
+    if (!Cmp.pointLess(l.p1, l.p2)) Seg(l.p2, l.p1) else l
+
+  /** reference planar/line_helpers.go:29-40 NormalizeUniqueLines —
+    * canonicalize, sort by XY, dedupe (tolerance equality).
+    */
+  def normalizeUniqueLines(lines: IndexedSeq[Seg]): IndexedSeq[Seg] = {
+    val cmp = Cmp.Default
+    val normed = lines.map(normalizeLine).sortWith { (a, b) =>
+      if (!cmp.pointEqual(a.p1, b.p1)) Cmp.pointLess(a.p1, b.p1)
+      else Cmp.pointLess(a.p2, b.p2)
+    }
+    val out = Vector.newBuilder[Seg]
+    var i = 0
+    while (i < normed.length) {
+      if (i == 0 || !(cmp.pointEqual(normed(i).p1, normed(i - 1).p1) &&
+          cmp.pointEqual(normed(i).p2, normed(i - 1).p2)))
+        out += normed(i)
+      i += 1
+    }
+    out.result()
+  }
+
   /** reference triangle.go:74-77 — 2× signed area, CCW-positive. */
   def triangleArea2(a: Pt, b: Pt, c: Pt): Double =
     (b._1 - a._1) * (c._2 - a._2) - (c._1 - a._1) * (b._2 - a._2)

@@ -208,6 +208,21 @@ object Slippy {
     out.result()
   }
 
+  /** reference spherical/extent.go:11-39 — lat/lon bbox honoring the
+    * antimeridian: the west-most point goes first when the pair spans more
+    * than 180° of longitude; stored as (west, south, east, north).
+    */
+  def sphericalHull(ax0: Double, ay: Double, bx0: Double, by: Double): Extent = {
+    var ax = ax0; var bx = bx0
+    if (math.abs(ax - bx) > 180.0) {
+      if (ax < bx) { val t = ax; ax = bx; bx = t }
+    } else {
+      if (ax > bx) { val t = ax; ax = bx; bx = t }
+    }
+    val (south, north) = if (ay < by) (ay, by) else (by, ay)
+    Extent(ax, south, bx, north)
+  }
+
   /** reference tile_grid.go:60-95 NewTileMinMaxer — smallest tile whose
     * extent contains the given extent, walking z = 22 → 0 via FamilyAt.
     */

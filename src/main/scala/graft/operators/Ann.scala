@@ -28,11 +28,17 @@ object Ann {
 
   /** Exact brute-force cosine top-k: queries broadcast, corpus scanned once.
     * queries(qid, qvec array<double>), corpus(vid, vec array<double>).
+    * Norms are precomputed per side (each sqrt(Σx²) is bit-identical to an
+    * inline computation, so the DuckDB oracle is unaffected) — one fold per
+    * pair instead of three.
     */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
-    corpus.join(broadcast(queries), col("qid") =!= col("vid"))
-      .select(col("qid"), col("vid"), cosine(col("qvec"), col("vec")).as("cos"))
+    val qn = queries.withColumn("qnorm", sqrt(norm2(col("qvec"))))
+    val cn = corpus.withColumn("vnorm", sqrt(norm2(col("vec"))))
+    cn.join(broadcast(qn), col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (dot(col("qvec"), col("vec")) / (col("qnorm") * col("vnorm"))).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }

@@ -25,19 +25,52 @@ import graft.functions.GeomFunctions._
   */
 object Knn {
 
-  /** queries(qid, lon, lat) × points(pid, lon, lat) → (qid, nid, dist2, rk). */
-  def knnJoin(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame = {
-    val d2: Column =
-      (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
-        (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+  /** pick a grid zoom targeting ~15 points per cell: deep enough that the
+    * candidate join stays small, shallow enough that the 3×3 block margin
+    * certifies nearly every query.
+    */
+  def zoomFor(nPoints: Long): Int = {
+    val cellsWanted = math.max(1.0, nPoints / 15.0)
+    val z = (math.log(cellsWanted) / math.log(4.0)).toInt
+    math.max(3, math.min(12, z))
+  }
 
+  /** Multi-level kNN: run the 3×3-block grid join at `z`, then retry the
+    * (few) uncertified queries at z−2 (16× larger cells, 4× the margin) —
+    * the "secondary ring expansion" of SURVEY §2.13 — before the final
+    * brute-force pass. Each level's certified results are exact; the
+    * remainder set shrinks geometrically.
+    */
+  def knnJoinExpanding(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame = {
+    val (lvl1, rest1) = knnLevel(queries, points, k, z)
+    if (z - 2 >= 2) {
+      val (lvl2, rest2) = knnLevel(rest1, points, k, z - 2)
+      lvl1.unionByName(lvl2).unionByName(bruteForce(rest2, points, k))
+    } else {
+      lvl1.unionByName(bruteForce(rest1, points, k))
+    }
+  }
+
+  /** exact brute force for a (small, broadcast) query set. */
+  private def bruteForce(queries: DataFrame, points: DataFrame, k: Int): DataFrame = {
+    val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
+    points.join(broadcast(queries), col("qid") =!= col("pid"))
+      .select(col("qid"), col("pid").as("nid"), d2.as("dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** one grid level: returns (certified exact results, uncertified queries). */
+  private def knnLevel(queries: DataFrame, points: DataFrame, k: Int,
+                       z: Int): (DataFrame, DataFrame) = {
+    val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
     val q = queries.select(col("qid"), col("qlon"), col("qlat"),
       st_lon2tile(col("qlon"), lit(z)).as("qtx"),
       st_lat2tile(col("qlat"), lit(z)).as("qty"))
-
     val maxT = (1L << z) - 1
-
-    // queries replicated to the 3×3 neighborhood (clamped at world edges)
     val qCells = q.select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
         explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
           struct((col("qtx") + dx).as("tx"), (col("qty") + dy).as("ty")))): _*)).as("nb"))
@@ -45,53 +78,40 @@ object Knn {
               col("nb.ty") >= 0 && col("nb.ty") <= maxT)
       .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
         col("nb.tx").as("tx"), col("nb.ty").as("ty"))
-
     val p = points.select(col("pid"), col("lon"), col("lat"),
       st_lon2tile(col("lon"), lit(z)).as("tx"),
       st_lat2tile(col("lat"), lit(z)).as("ty"))
-
     val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
-
-    val phase1 = qCells.join(p, Seq("tx", "ty"))
-      .filter(col("qid") =!= col("pid"))
-      .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
-        col("pid").as("nid"), d2.as("dist2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-
-    // certification: margin = min distance from query to its 3×3 block
-    // boundary; world edges are unbounded (no points can exist beyond)
+    val wq = Window.partitionBy(col("qid"))
     val blockMinX = st_tile2lon(lit(z), col("qtx") - 1)
     val blockMaxX = st_tile2lon(lit(z), col("qtx") + 2)
-    val blockMaxY = st_tile2lat(lit(z), col("qty") - 1) // north edge
-    val blockMinY = st_tile2lat(lit(z), col("qty") + 2) // south edge
+    val blockMaxY = st_tile2lat(lit(z), col("qty") - 1)
+    val blockMinY = st_tile2lat(lit(z), col("qty") + 2)
     val inf = lit(Double.MaxValue)
     val margin = least(
       when(col("qtx") === 0, inf).otherwise(col("qlon") - blockMinX),
       when(col("qtx") === maxT, inf).otherwise(blockMaxX - col("qlon")),
       when(col("qty") === 0, inf).otherwise(blockMaxY - col("qlat")),
       when(col("qty") === maxT, inf).otherwise(col("qlat") - blockMinY))
-
-    val perQuery = phase1.groupBy(col("qid"))
-      .agg(max(col("dist2")).as("kth_dist2"), count(lit(1)).as("n_cand"))
-    val certification = q.join(perQuery, Seq("qid"), "left")
-      .select(col("qid"), col("qlon"), col("qlat"),
-        (col("n_cand").isNotNull && col("n_cand") === k &&
-          col("kth_dist2") <= margin * margin).as("certified"))
-
-    val certifiedIds = certification.filter(col("certified"))
-    val uncertified = certification.filter(!col("certified") || col("certified").isNull)
-      .select(col("qid"), col("qlon"), col("qlat"))
-
-    val exactPart = phase1.join(certifiedIds.select("qid"), Seq("qid"), "left_semi")
-      .select(col("qid"), col("nid"), col("dist2"), col("rk").cast("long").as("rk"))
-
-    // fallback: brute force for the few uncertified queries
-    val fallback = points.join(broadcast(uncertified), col("qid") =!= col("pid"))
-      .select(col("qid"), col("pid").as("nid"), d2.as("dist2"))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    val ranked = qCells.join(p, Seq("tx", "ty"))
+      .filter(col("qid") =!= col("pid"))
+      .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
+        col("pid").as("nid"), d2.as("dist2"))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-
-    exactPart.unionByName(fallback)
+      .withColumn("kth_dist2", max(col("dist2")).over(wq))
+      .withColumn("n_cand", count(lit(1)).over(wq))
+      .withColumn("certified", col("n_cand") === k && col("kth_dist2") <= margin * margin)
+      .cache()
+    val exactPart = ranked.filter(col("certified"))
+      .select(col("qid"), col("nid"), col("dist2"), col("rk").cast("long").as("rk"))
+    val uncertified = queries
+      .join(ranked.filter(col("certified")).select("qid").distinct(), Seq("qid"), "left_anti")
+      .select(col("qid"), col("qlon"), col("qlat"))
+    (exactPart, uncertified)
   }
+
+  /** queries(qid, lon, lat) × points(pid, lon, lat) → (qid, nid, dist2, rk). */
+  def knnJoin(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame =
+    knnJoinExpanding(queries, points, k, z)
 }

@@ -140,6 +140,30 @@ class PlanarSpec extends AnyFunSuite {
     assert(e.edges.length == 4 && e.edges.head == Seg(0, 0, 10, 0))
   }
 
+  test("normalizeUniqueLines canonicalizes, sorts and dedupes (line_helpers.go)") {
+    val lines = Vector(Seg(5, 5, 0, 0), Seg(0, 0, 5, 5), Seg(1, 1, 2, 2))
+    val out = Planar.normalizeUniqueLines(lines)
+    assert(out == Vector(Seg(0, 0, 5, 5), Seg(1, 1, 2, 2)))
+  }
+
+  test("pointOnLineAt walks distance along the segment (planar.go:83-92)") {
+    assert(Planar.pointOnLineAt(Seg(0, 0, 10, 0), 4) == ((4.0, 0.0)))
+    assert(Planar.pointOnLineAt(Seg(0, 0, 3, 4), 5) == ((3.0, 4.0)))
+  }
+
+  test("spherical hull honors the antimeridian (spherical/extent.go)") {
+    // normal case: west-most first
+    assert(Slippy.sphericalHull(-117.15, 32.69, -116.8, 32.63) ==
+      Extent(-117.15, 32.63, -116.8, 32.69))
+    // spanning the antimeridian: the hull keeps west-first encoding
+    // (minx=170 east of maxx=-170 — the reference's convention)
+    val e = Slippy.sphericalHull(170.0, 10.0, -170.0, 20.0)
+    assert(e.minx == 170.0 && e.maxx == -170.0 && e.miny == 10.0 && e.maxy == 20.0)
+    // and when the eastern point is given first it swaps to west-first
+    val e2 = Slippy.sphericalHull(-170.0, 20.0, 170.0, 10.0)
+    assert(e2.minx == 170.0 && e2.maxx == -170.0)
+  }
+
   test("roundToPrec half-away-from-zero, -0 → 0 (geom.go:555-566)") {
     assert(Geom.roundToPrec(1.23456, 2) == 1.23)
     assert(Geom.roundToPrec(1.235, 2) == 1.24)
