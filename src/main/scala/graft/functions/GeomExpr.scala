@@ -19,6 +19,9 @@ import graft.core.Geom._
 /** graft's expression base — see org.apache.spark.sql.graft.GeomExprBase. */
 abstract class GeomExpr extends org.apache.spark.sql.graft.GeomExprBase
 
+/** base for whole-stage-codegen'd static-kernel expressions. */
+abstract class GeomExprGen extends org.apache.spark.sql.graft.GeomExprStatic
+
 object GeomExpr {
   val pointStruct: StructType =
     StructType(Seq(StructField("x", DoubleType, false), StructField("y", DoubleType, false)))
@@ -277,7 +280,8 @@ case class StRingContains(geo: Expression, xe: Expression, ye: Expression,
 // ---------------------------------------------------------------------------
 
 /** (lon, lat, z) → packed cell id (z<<58 | x<<29 | y). */
-case class StCellAt(lon: Expression, lat: Expression, z: Expression) extends GeomExpr {
+case class StCellAt(lon: Expression, lat: Expression, z: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.cellAt"
   override def inputTypesImpl: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
   override def children: Seq[Expression] = Seq(lon, lat, z)
   override def dataType: DataType = LongType
@@ -287,7 +291,8 @@ case class StCellAt(lon: Expression, lat: Expression, z: Expression) extends Geo
     copy(c(0), c(1), c(2))
 }
 
-case class StLon2Tile(lon: Expression, z: Expression) extends GeomExpr {
+case class StLon2Tile(lon: Expression, z: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.lon2Tile"
   override def inputTypesImpl: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def children: Seq[Expression] = Seq(lon, z)
   override def dataType: DataType = LongType
@@ -296,7 +301,8 @@ case class StLon2Tile(lon: Expression, z: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
-case class StLat2Tile(lat: Expression, z: Expression) extends GeomExpr {
+case class StLat2Tile(lat: Expression, z: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.lat2Tile"
   override def inputTypesImpl: Seq[DataType] = Seq(DoubleType, IntegerType)
   override def children: Seq[Expression] = Seq(lat, z)
   override def dataType: DataType = LongType
@@ -305,7 +311,8 @@ case class StLat2Tile(lat: Expression, z: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
-case class StTile2Lon(z: Expression, x: Expression) extends GeomExpr {
+case class StTile2Lon(z: Expression, x: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.tile2Lon"
   override def inputTypesImpl: Seq[DataType] = Seq(IntegerType, LongType)
   override def children: Seq[Expression] = Seq(z, x)
   override def dataType: DataType = DoubleType
@@ -314,7 +321,8 @@ case class StTile2Lon(z: Expression, x: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
-case class StTile2Lat(z: Expression, y: Expression) extends GeomExpr {
+case class StTile2Lat(z: Expression, y: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.tile2Lat"
   override def inputTypesImpl: Seq[DataType] = Seq(IntegerType, LongType)
   override def children: Seq[Expression] = Seq(z, y)
   override def dataType: DataType = DoubleType
@@ -323,7 +331,8 @@ case class StTile2Lat(z: Expression, y: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
-case class StCellZ(cell: Expression) extends GeomExpr {
+case class StCellZ(cell: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.cellZ"
   override def inputTypesImpl: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = IntegerType
@@ -331,7 +340,8 @@ case class StCellZ(cell: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-case class StCellX(cell: Expression) extends GeomExpr {
+case class StCellX(cell: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.cellX"
   override def inputTypesImpl: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = LongType
@@ -339,7 +349,8 @@ case class StCellX(cell: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
-case class StCellY(cell: Expression) extends GeomExpr {
+case class StCellY(cell: Expression) extends GeomExprGen {
+  override protected def staticKernel: String = "graft.core.CellKernels.cellY"
   override def inputTypesImpl: Seq[DataType] = Seq(LongType)
   override def children: Seq[Expression] = Seq(cell)
   override def dataType: DataType = LongType
