@@ -272,6 +272,18 @@ object SparkEntry {
         .select(col("pid"), st_x(col("g")).as("x"), st_y(col("g")).as("y"))
     }),
 
+    "q32_utm" -> ((s, dir) => {
+      Synth.points(s, dir)
+        .filter(col("lat") >= -80 && col("lat") <= 84)
+        .withColumn("u", st_utm_from_lnglat(col("lon"), col("lat")))
+        // meters rounded to mm: a single transcendental differing by
+        // 1 ulp between JVM and DuckDB libm (observed once in 57k rows)
+        // is ~6e-11 m here; the mm grid absorbs it with ~1e-8 flip risk
+        .select(col("pid"), round(col("u.northing"), 3).as("northing"),
+          round(col("u.easting"), 3).as("easting"), col("u.zone_number").as("zn"),
+          col("u.zone_letter").as("zl"))
+    }),
+
     "q28_lang_score" -> ((s, dir) => {
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       // " word " (len+2) → " x" (2): length drops by len(word) per hit
@@ -465,6 +477,39 @@ object SparkEntry {
       "CAST(trunc(((tmaxy - lat) / (tmaxy - tminy)) * 4096.0) AS DOUBLE) AS py FROM e"),
 
     "q31_geojson_roundtrip" ->
-      s"WITH $P SELECT pid, lon AS x, lat AS y FROM pts"
+      s"WITH $P SELECT pid, lon AS x, lat AS y FROM pts",
+
+    // UTM forward series (WGS84) mirrored operation-for-operation from
+    // graft.core.Utm.fromLngLat — every subexpression parenthesized to
+    // force the identical IEEE evaluation order
+    "q32_utm" ->
+      (s"WITH $P, f AS (SELECT pid, lon, lat FROM pts WHERE lat >= -80 AND lat <= 84), " +
+      "z AS (SELECT pid, lon, lat, " +
+      "CASE WHEN lat >= 56 AND lat < 64 AND lon >= 3 AND lon < 12 THEN 32 " +
+      "WHEN lat >= 72 AND lat < 84 AND lon >= 0 AND lon < 9 THEN 31 " +
+      "WHEN lat >= 72 AND lat < 84 AND lon >= 9 AND lon < 21 THEN 33 " +
+      "WHEN lat >= 72 AND lat < 84 AND lon >= 21 AND lon < 33 THEN 35 " +
+      "WHEN lat >= 72 AND lat < 84 AND lon >= 33 AND lon < 42 THEN 37 " +
+      "ELSE CAST(trunc((lon + 180) / 6) AS INTEGER) + 1 END AS zn, " +
+      "substr('CDEFGHJKLMNPQRSTUVWX', least(CAST(trunc((lat + 80) / 8) AS INTEGER), 19) + 1, 1) AS zl FROM f), " +
+      "g AS (SELECT pid, lon, lat, zn, zl, ((lat) * pi()) / 180 AS latrad, ((lon) * pi()) / 180 AS lngrad, " +
+      "((CAST((zn - 1) * 6 - 180 + 3 AS DOUBLE)) * pi()) / 180 AS lngoriginrad, " +
+      "0.00669438 / (1 - 0.00669438) AS ep, sin(((lat) * pi()) / 180) AS sl, cos(((lat) * pi()) / 180) AS cl, " +
+      "CASE WHEN ((lat) * pi()) / 180 <> 0.0 THEN tan(((lat) * pi()) / 180) ELSE 0.0 END AS t0, " +
+      "0.00669438 * 0.00669438 AS e2 FROM z), " +
+      "h AS (SELECT *, 6378137.0 / sqrt(1 - ((0.00669438 * sl) * sl)) AS n, t0 * t0 AS t, " +
+      "((ep * ep) * cl) * cl AS c, (lngrad - lngoriginrad) * cl AS a, e2 * 0.00669438 AS e3 FROM g), " +
+      "i AS (SELECT *, (t * t) AS t2, ((t * t) * t) AS t3, (c * c) AS c2, (a * a) AS a2, ((a * a) * a) AS a3, " +
+      "(((a * a) * a) * a) AS a4, ((((a * a) * a) * a) * a) AS a5, (((((a * a) * a) * a) * a) * a) AS a6 FROM h), " +
+      "j AS (SELECT *, " +
+      "(((1 - (0.00669438 / 4.0)) - ((3.0 / 64.0) * e2)) - ((5.0 / 256.0) * e3)) * latrad AS m01, " +
+      "((((3.0 / 8.0) * 0.00669438) + ((3.0 / 32.0) * e2)) + ((45.0 / 1024.0) * e3)) * sin(latrad * 2.0) AS m02, " +
+      "(((15.0 / 256.0) * e2) + ((45.0 / 1024.0) * e3)) * sin(latrad * 4.0) AS m03, " +
+      "((35.0 / 3072.0) * e3) * sin(latrad * 6.0) AS m04 FROM i), " +
+      "k AS (SELECT *, 6378137.0 * (((m01 - m02) + m03) - m04) AS m FROM j), " +
+      "l AS (SELECT pid, lat, zn, zl, " +
+      "((0.9996 * n) * ((a + ((((1.0 - t) + c) * a3) / 6.0)) + (((((5.0 - (10.0 * t3)) + (72.0 * c)) - (58.0 * ep)) * a5) / 120.0))) + 500000.0 AS easting, " +
+      "0.9996 * (m + ((n * t0) * (((a2 / 2.0) + (((((5.0 - t) + (9.0 * c)) + (4.0 * c2)) * a4) / 24.0)) + ((((((61.0 - (58.0 * t)) + t2) + (600.0 * c)) - (330.0 * ep)) * a6) / 720.0)))) AS nb FROM k) " +
+      "SELECT pid, round(CASE WHEN lat < 0.0 THEN nb + 10000000.0 ELSE nb END, 3) AS northing, round(easting, 3) AS easting, zn, zl FROM l")
   )
 }

@@ -83,12 +83,16 @@ object Utm {
     val kmDist = (111 * degreeDiff * math.cos(toRadian(lat))).toInt
     val letterIdx = math.abs(kmDist / 100)
     val sideSelect = if (degreeDiff < 0) 1 else 0
-    val lngLetter = dZone(sideSelect)(letterIdx)
+    // clamped: inputs far from the central meridian (e.g. the Norway
+    // zone-32 exception) overrun the 4-letter table — the reference
+    // panics there; we saturate instead
+    val lngLetter = dZone(sideSelect)(math.min(letterIdx, 3))
     val kmDistLat = math.abs(111.0 * lat)
     val offset = if (zone.number % 2 == 0) 4 else -1
     var idx = math.abs(math.ceil((kmDistLat.toInt % 2000).toDouble / 100.0)).toInt
     if (!zone.isNorthern) idx = 21 - idx
-    val latLetter = latDigraphZones(offset + idx)
+    val latLetter = latDigraphZones(
+      math.max(0, math.min(offset + idx, latDigraphZones.length - 1)))
     (lngLetter, latLetter)
   }
 

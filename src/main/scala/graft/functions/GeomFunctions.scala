@@ -80,6 +80,9 @@ object GeomFunctions {
   def st_asgeojson(geo: Column): Column = col(StAsGeoJson(ex(geo)))
   def st_geomfromgeojson(text: Column): Column = col(StGeomFromGeoJson(ex(text)))
 
+  def st_utm_from_lnglat(lng: Column, lat: Column): Column =
+    col(StUtmFromLngLat(ex(lng), ex(lat)))
+
   // text analysis
   def doc_fingerprint(text: Column): Column = col(StFingerprint(ex(text)))
   def minhash(text: Column, numPerms: Column): Column = col(StMinHash(ex(text), ex(numPerms)))
@@ -129,6 +132,7 @@ object GeomFunctions {
     "st_mvt_geometry" -> (a => StMvtGeometry(a(0))),
     "st_asgeojson" -> (a => StAsGeoJson(a(0))),
     "st_geomfromgeojson" -> (a => StGeomFromGeoJson(a(0))),
+    "st_utm_from_lnglat" -> (a => StUtmFromLngLat(a(0), a(1))),
     "doc_fingerprint" -> (a => StFingerprint(a(0))),
     "minhash" -> (a => StMinHash(a(0), a(1))),
     "simhash" -> (a => StSimHash(a(0))),
