@@ -147,7 +147,7 @@ object SparkEntry {
       val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
       val qs = pts.filter(col("pid") % 2999 === 0)
         .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
-      graft.operators.Knn.knnJoin(qs, pts, k = 3, z = graft.operators.Knn.zoomFor(pts.count()))
+      graft.operators.Knn.knnJoinAuto(qs, pts, k = 3)
     }),
 
     // ---- geometry accessors over built polygons ----
@@ -208,7 +208,7 @@ object SparkEntry {
       val qs = pts
         .filter(col("lon") >= -30 && col("lon") <= 30 && col("lat") >= 0 && col("lat") <= 40)
         .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
-      graft.operators.Knn.knnJoin(qs, pts, k = 3, z = graft.operators.Knn.zoomFor(pts.count()))
+      graft.operators.Knn.knnJoinAuto(qs, pts, k = 3)
     }),
 
     "q22_tiler_assign" -> ((s, dir) => {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -12,7 +12,10 @@ import graft.functions.GeomFunctions._
   *
   *  phase 1 — queries are replicated to their 3×3 cell neighborhood at
   *    zoom `z` (cheap: queries ≪ points), points keep their single cell;
-  *    an equi-join on cell + window top-k yields candidate neighbors.
+  *    an equi-join on cell + a bounded top-k AGGREGATE (map-side partial:
+  *    each map task forwards at most k candidates per query, so hot cells
+  *    never concentrate full candidate lists on one reducer) yields the
+  *    per-query k nearest candidates.
   *  phase 2 — a query is CERTIFIED exact when its kth candidate distance
   *    is ≤ its distance to the 3×3 block boundary (no point outside the
   *    block can be closer); the rare uncertified queries (sparse regions)
@@ -20,8 +23,13 @@ import graft.functions.GeomFunctions._
   *
   * The result is exactly the true kNN (Euclidean in lon/lat degree space,
   * matching planar.PointDistance2), while the heavy path stays a single
-  * shuffle on the cell key. At 10^12 points the phase-1 join shuffles
-  * points once by cell; AQE handles hot-cell skew.
+  * shuffle on the cell key. The per-query aggregate frame (≤ k entries per
+  * query) is consumed by both the certified branch and the anti-join that
+  * finds uncertified queries; the two branches share a byte-identical
+  * aggregate subtree, so Spark's ReuseExchange serves both from one
+  * shuffle write — no cache()/persist() pinning executor memory.
+  * At 10^12 points the phase-1 join shuffles points once by cell; AQE
+  * handles hot-cell skew.
   */
 object Knn {
 
@@ -33,6 +41,22 @@ object Knn {
     val cellsWanted = math.max(1.0, nPoints / 15.0)
     val z = (math.log(cellsWanted) / math.log(4.0)).toInt
     math.max(3, math.min(12, z))
+  }
+
+  /** Metadata-only row estimate from the optimizer's statistics — no scan,
+    * no job (the old `pts.count()` plan-build pass cost a full extra read
+    * of the points table before the query even started). The zoom choice
+    * only needs order-of-magnitude accuracy (each z step changes cell
+    * population 4×, and results are exact at ANY z), so the optimizer's
+    * size-in-bytes estimate divided by the schema row width is plenty.
+    */
+  def zoomForPlan(points: DataFrame): Int = {
+    val stats = points.queryExecution.optimizedPlan.stats
+    val rows = stats.rowCount.map(_.toLong).getOrElse {
+      val rowBytes = math.max(8, points.schema.map(_.dataType.defaultSize).sum)
+      (stats.sizeInBytes / rowBytes).toLong
+    }
+    zoomFor(math.max(1L, rows))
   }
 
   /** Multi-level kNN: run the 3×3-block grid join at `z`, then retry the
@@ -81,8 +105,13 @@ object Knn {
     val p = points.select(col("pid"), col("lon"), col("lat"),
       st_lon2tile(col("lon"), lit(z)).as("tx"),
       st_lat2tile(col("lat"), lit(z)).as("ty"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
-    val wq = Window.partitionBy(col("qid"))
+    // one shuffle: candidates → bounded top-k per query, map-side combined
+    val agg = qCells.join(p, Seq("tx", "ty"))
+      .filter(col("qid") =!= col("pid"))
+      .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
+        col("pid").as("nid"), d2.as("dist2"))
+      .groupBy(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"))
+      .agg(topk_neighbors(col("dist2"), col("nid"), k).as("topk"))
     val blockMinX = st_tile2lon(lit(z), col("qtx") - 1)
     val blockMaxX = st_tile2lon(lit(z), col("qtx") + 2)
     val blockMaxY = st_tile2lat(lit(z), col("qty") - 1)
@@ -93,20 +122,15 @@ object Knn {
       when(col("qtx") === maxT, inf).otherwise(blockMaxX - col("qlon")),
       when(col("qty") === 0, inf).otherwise(blockMaxY - col("qlat")),
       when(col("qty") === maxT, inf).otherwise(col("qlat") - blockMinY))
-    val ranked = qCells.join(p, Seq("tx", "ty"))
-      .filter(col("qid") =!= col("pid"))
-      .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
-        col("pid").as("nid"), d2.as("dist2"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .withColumn("kth_dist2", max(col("dist2")).over(wq))
-      .withColumn("n_cand", count(lit(1)).over(wq))
-      .withColumn("certified", col("n_cand") === k && col("kth_dist2") <= margin * margin)
-      .cache()
-    val exactPart = ranked.filter(col("certified"))
-      .select(col("qid"), col("nid"), col("dist2"), col("rk").cast("long").as("rk"))
+    val certified = agg
+      .withColumn("certified", size(col("topk")) === k &&
+        element_at(col("topk"), k).getField("dist2") <= margin * margin)
+    val exactPart = certified.filter(col("certified"))
+      .select(col("qid"), posexplode(col("topk")).as(Seq("pos", "nb")))
+      .select(col("qid"), col("nb.nid").as("nid"), col("nb.dist2").as("dist2"),
+        (col("pos") + 1).cast("long").as("rk"))
     val uncertified = queries
-      .join(ranked.filter(col("certified")).select("qid").distinct(), Seq("qid"), "left_anti")
+      .join(certified.filter(col("certified")).select("qid"), Seq("qid"), "left_anti")
       .select(col("qid"), col("qlon"), col("qlat"))
     (exactPart, uncertified)
   }
@@ -114,4 +138,9 @@ object Knn {
   /** queries(qid, lon, lat) × points(pid, lon, lat) → (qid, nid, dist2, rk). */
   def knnJoin(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame =
     knnJoinExpanding(queries, points, k, z)
+
+  /** as `knnJoin` but the grid zoom is derived from plan statistics
+    * (metadata-only — no extra scan). */
+  def knnJoinAuto(queries: DataFrame, points: DataFrame, k: Int): DataFrame =
+    knnJoinExpanding(queries, points, k, zoomForPlan(points))
 }
