@@ -284,6 +284,17 @@ object SparkEntry {
           col("u.zone_letter").as("zl"))
     }),
 
+    "q34_ann_lsh" -> ((s, dir) => {
+      // the SCALE ann path: corpus bucketed by sign-random-projection,
+      // queries multi-probe their bucket + Hamming-1 neighbors; the oracle
+      // reproduces the deterministic hyperplanes as exact-decimal literals
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+      val qs = emb.filter(col("vid") % 40 === 0)
+        .select(col("vid").as("qid"), col("vec").as("qvec"))
+      graft.operators.Ann.lshTopK(qs, emb, k = 5, dim = 64, bits = 8, multiProbe = true)
+    }),
+
     "q28_lang_score" -> ((s, dir) => {
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       // " word " (len+2) → " x" (2): length drops by len(word) per hit
@@ -416,6 +427,21 @@ object SparkEntry {
       "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
       "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
       "FROM p QUALIFY rk <= 5"),
+
+    "q34_ann_lsh" -> {
+      ("WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"b AS (SELECT vid, v, ${graft.operators.Ann.bucketSql("v", 64, 8)} AS bucket FROM e), " +
+      "q AS (SELECT vid AS qid, v AS qv, bucket AS qb FROM b WHERE vid % 40 = 0), " +
+      "qp AS (SELECT qid, qv, unnest([qb" + (0 until 8).map(p => s", xor(qb, ${1L << p})").mkString + "]) AS bucket FROM q), " +
+      "p AS (SELECT qid, vid, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS dt, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS nq, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS nv " +
+      "FROM qp JOIN b USING (bucket) WHERE qid <> vid) " +
+      "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
+      "FROM p QUALIFY rk <= 5")
+    },
 
     "q24_minhash_sig" ->
       ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), " +

@@ -47,7 +47,7 @@ object Ann {
     * a value in [-1, 1) from a splitmix-style integer hash — reproducible
     * across engines and runs with no RNG state.
     */
-  private def planeComponent(p: Int, i: Int): Double = {
+  def planeComponent(p: Int, i: Int): Double = {
     var x = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
     x ^= (x >>> 27); x *= 0x94D049BB133111EBL
@@ -66,17 +66,54 @@ object Ann {
   }
 
   /** LSH-bucketed ANN: corpus bucketed once (one shuffle on bucket id);
-    * each query scans only its bucket. Returns top-k per query by cosine
-    * within the bucket (approximate: recall < 1).
+    * each query scans only its probed buckets. With `multiProbe` the query
+    * side also probes every Hamming-distance-1 neighbor bucket (bits extra
+    * probes) — the standard multi-probe recall lift, at query-replication
+    * (not corpus-replication) cost. Returns top-k per query by cosine
+    * within the probed buckets (approximate: recall < 1).
+    *
+    * No broadcast hint: the bucket equi-join shuffles both sides by bucket
+    * id, which is correct for arbitrarily large query sets; AQE converts
+    * to a broadcast join on its own when the query side is small.
     */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, bits: Int): DataFrame = {
-    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), dim, bits))
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, bits: Int,
+              multiProbe: Boolean = false): DataFrame = {
+    val qb0 = queries.withColumn("bucket0", lshBucket(col("qvec"), dim, bits))
+    val qb =
+      if (multiProbe) {
+        qb0.select(col("qid"), col("qvec"),
+          explode(array(col("bucket0") +:
+            (0 until bits).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)).as("bucket"))
+      } else {
+        qb0.withColumnRenamed("bucket0", "bucket")
+      }
     val cb = corpus.withColumn("bucket", lshBucket(col("vec"), dim, bits))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
-    cb.join(broadcast(qb), Seq("bucket"))
+    cb.join(qb, Seq("bucket"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), cosine(col("qvec"), col("vec")).as("cos"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }
+
+  // ---- DuckDB oracle SQL generators (mirror the expressions above) ----
+
+  /** exact-decimal literal list for plane `p` over `dim` dims — every
+    * binary64 has a finite decimal expansion, so the oracle parses back
+    * the identical double. */
+  def planeSqlLiteral(p: Int, dim: Int): String =
+    "[" + (0 until dim).map(i =>
+      new java.math.BigDecimal(planeComponent(p, i)).toPlainString).mkString(", ") + "]"
+
+  /** left-fold dot of list expr `v` with plane `p` (mirrors `dot`). */
+  def planeDotSql(v: String, p: Int, dim: Int): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, ${dim + 1}), " +
+      s"i -> ($v)[CAST(i AS INTEGER)] * (${planeSqlLiteral(p, dim)})[CAST(i AS INTEGER)])), " +
+      "(acc, x) -> acc + x)"
+
+  /** sign-random-projection bucket id (mirrors `lshBucket`). */
+  def bucketSql(v: String, dim: Int, bits: Int): String =
+    "CAST(" + (0 until bits).map(p =>
+      s"(CASE WHEN ${planeDotSql(v, p, dim)} >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ") + " AS BIGINT)"
 }
