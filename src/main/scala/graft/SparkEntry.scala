@@ -252,11 +252,19 @@ object SparkEntry {
       val polys = DocsTable.extractGeometries(docs)
         .filter(st_geomtype(col("geom")) === "Polygon")
       val nan = lit(Double.NaN)
+      // vhash: order-independent coordinate-level gate — sum over output
+      // vertices of (round(x·1000)·1000003 + round(y·1000)). Output coords
+      // already sit on the 1e-3 grid (Subdivision.roundPoint), so the
+      // re-rounding is noise-free; the oracle predicts every vertex
+      // (corners + the bow-tie diagonal intersection) arithmetically.
       polys.select(col("doc_id"),
         st_makevalid(col("geom"), nan, nan, nan, nan).as("fixed"))
         .select(col("doc_id"),
           st_geomtype(col("fixed")).as("gtype"),
-          st_num_points(col("fixed")).as("npts"))
+          st_num_points(col("fixed")).as("npts"),
+          aggregate(st_dump_points(col("fixed")), lit(0L), (acc, p) =>
+            acc + (round(p.getField("x") * 1000).cast("long") * 1000003L +
+                   round(p.getField("y") * 1000).cast("long"))).as("vhash"))
     }),
 
     "q30_mvt_prepare" -> ((s, dir) => {
@@ -487,11 +495,36 @@ object SparkEntry {
       "(CAST(stop_hits AS DOUBLE) / n_tokens) >= 0.05 AS is_en FROM h"),
 
     // valid box polygons repair to themselves (1 polygon, 4 points);
-    // bow-ties split into two triangles (6 points total)
+    // bow-ties split into two triangles (6 points: 4 corners + the diagonal
+    // intersection twice). vhash predicts every output vertex: corners are
+    // the generated coords ±1/+2; the intersection is segmentIntersect
+    // (planar/line_intersect.go:141-178) of ring edges s3=(A,T)→(L,B) and
+    // s1=(L,T)→(A,B) — the sweep's (seg, seg1) argument order — mirrored
+    // op-for-op; all vertices then rounded half-away at 1e-3
+    // (subdivision.go RoundingFactor).
     "q29_makevalid" ->
-      (s"WITH $P SELECT 'doc-' || lpad(CAST(pid AS VARCHAR), 12, '0') AS doc_id, " +
-      "'MultiPolygon' AS gtype, CASE WHEN pid % 194 = 0 THEN 6 ELSE 4 END AS npts " +
-      "FROM pts WHERE pid % 97 = 0"),
+      (s"WITH $P, g AS (SELECT pid, " +
+      "CASE WHEN pid % 194 = 0 THEN lon ELSE lon - 1 END AS gl, " +
+      "CASE WHEN pid % 194 = 0 THEN lat ELSE lat - 1 END AS gt, " +
+      "CASE WHEN pid % 194 = 0 THEN lon + 2 ELSE lon + 1 END AS ga, " +
+      "CASE WHEN pid % 194 = 0 THEN lat + 2 ELSE lat + 1 END AS gb " +
+      "FROM pts WHERE pid % 97 = 0), " +
+      "x AS (SELECT pid, gl, gt, ga, gb, " +
+      "((ga * gb) - (gt * gl)) AS cross1, ((gl * gb) - (gt * ga)) AS cross2 FROM g), " +
+      "c AS (SELECT pid, gl, gt, ga, gb, " +
+      "((cross1 * (gl - ga)) - ((ga - gl) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS bx, " +
+      "((cross1 * (gt - gb)) - ((gt - gb) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS by " +
+      "FROM x), " +
+      "h AS (SELECT pid, " +
+      "(CAST(round(gl * 1000) AS BIGINT) * 1000003 + CAST(round(gt * 1000) AS BIGINT)) + " +
+      "(CAST(round(ga * 1000) AS BIGINT) * 1000003 + CAST(round(gt * 1000) AS BIGINT)) + " +
+      "(CAST(round(gl * 1000) AS BIGINT) * 1000003 + CAST(round(gb * 1000) AS BIGINT)) + " +
+      "(CAST(round(ga * 1000) AS BIGINT) * 1000003 + CAST(round(gb * 1000) AS BIGINT)) + " +
+      "CASE WHEN pid % 194 = 0 THEN 2 * (CAST(round(bx * 1000) AS BIGINT) * 1000003 + CAST(round(by * 1000) AS BIGINT)) ELSE 0 END AS vhash " +
+      "FROM c) " +
+      "SELECT 'doc-' || lpad(CAST(pid AS VARCHAR), 12, '0') AS doc_id, " +
+      "'MultiPolygon' AS gtype, CASE WHEN pid % 194 = 0 THEN 6 ELSE 4 END AS npts, " +
+      "CAST(vhash AS BIGINT) AS vhash FROM h"),
 
     "q30_mvt_prepare" ->
       (s"WITH $P, t AS (SELECT pid, lon, lat, ${Synth.lon2TileSql("lon", 9)} AS x, ${Synth.lat2TileSql("lat", 9)} AS y FROM pts), " +
