@@ -292,6 +292,41 @@ object SparkEntry {
           col("u.zone_letter").as("zl"))
     }),
 
+    "q33_pipeline" -> ((s, dir) => {
+      // the reference's composed cmd/main.go pipeline over deterministic
+      // synthetic polygons placed inside chosen z=9 web-mercator tiles:
+      // half valid boxes, half bow-ties needing repair. Output gates the
+      // full simplify→makevalid→PrepareGeo→MVT-command-stream product at
+      // coordinate level (rolling hash of the command stream).
+      val base = Synth.points(s, dir).select(col("pid"))
+        .withColumn("z9", lit(9))
+        .withColumn("tx", col("pid") * 7 % 512)
+        .withColumn("ty", col("pid") % 312 + 100)
+        .withColumn("t", st_tile_extent_3857(lit(9), col("tx"), col("ty")))
+        .withColumn("xs", col("t.maxx") - col("t.minx"))
+        .withColumn("ys", col("t.maxy") - col("t.miny"))
+        .withColumn("gl", col("t.minx") + ((col("pid") % 8).cast("double") * 0.05 + 0.1) * col("xs"))
+        .withColumn("gt", col("t.miny") + ((col("pid") % 9).cast("double") * 0.05 + 0.1) * col("ys"))
+        .withColumn("ga", col("gl") + ((col("pid") % 4).cast("double") * 0.05 + 0.25) * col("xs"))
+        .withColumn("gb", col("gt") + ((col("pid") % 6).cast("double") * 0.04 + 0.25) * col("ys"))
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+      val boxWkt = concat(lit("POLYGON (("),
+        pt(col("gl"), col("gt")), lit(","), pt(col("ga"), col("gt")), lit(","),
+        pt(col("ga"), col("gb")), lit(","), pt(col("gl"), col("gb")), lit(","),
+        pt(col("gl"), col("gt")), lit("))"))
+      val bowWkt = concat(lit("POLYGON (("),
+        pt(col("gl"), col("gt")), lit(","), pt(col("ga"), col("gb")), lit(","),
+        pt(col("ga"), col("gt")), lit(","), pt(col("gl"), col("gb")), lit(","),
+        pt(col("gl"), col("gt")), lit("))"))
+      val withGeom = base
+        .withColumn("geom", st_geomfromwkt(when(col("pid") % 2 === 0, boxWkt).otherwise(bowWkt)))
+      graft.operators.TilePipeline.mvtCommands(withGeom, "geom", "z9", "tx", "ty")
+        .select(col("pid"), col("mvt_type"),
+          size(col("mvt_commands")).cast("long").as("n_cmds"),
+          aggregate(col("mvt_commands"), lit(0L),
+            (acc, c) => (acc * 31L + c) % 1000000000000007L).as("chash"))
+    }),
+
     "q34_ann_lsh" -> ((s, dir) => {
       // the SCALE ann path: corpus bucketed by sign-random-projection,
       // queries multi-probe their bucket + Hamming-1 neighbors; the oracle
@@ -435,6 +470,56 @@ object SparkEntry {
       "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
       "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
       "FROM p QUALIFY rk <= 5"),
+
+    // composed cmd/main.go pipeline: tile ext (3857) → 1px clipRegion →
+    // DP simplify (identity by construction: features ≥1000px) → makevalid
+    // (plain path: geometry inside clipRegion; bow-ties split at the
+    // diagonal intersection, all vertices rounded half-away at 1e-3) →
+    // PrepareGeo pixel projection (trunc toward zero, y-flip) → MVT
+    // command stream (empirically: the prepare rectify and the encoder's
+    // y-down winding enforcement cancel, so rings encode in makevalid
+    // output vertex order: box (L,B),(A,B),(A,T),(L,T); bow-tie
+    // [(A,B),(A,T),C] then [(L,B),C,(L,T)] with the cursor carrying over)
+    "q33_pipeline" -> {
+      def zz(v: String) = s"(CASE WHEN ($v) >= 0 THEN 2 * ($v) ELSE (-2 * ($v)) - 1 END)"
+      def y2deg(ty: String) =
+        s"((180.0 / pi()) * atan(0.5 * (exp(pi() - (((2.0 * pi()) * CAST($ty AS DOUBLE)) / 512.0)) - " +
+        s"exp(-(pi() - (((2.0 * pi()) * CAST($ty AS DOUBLE)) / 512.0))))))"
+      def mercX(lon: String) = s"(6378137.0 * ((($lon) * pi()) / 180))"
+      def mercY(lat: String) = s"(6378137.0 * ln(tan((pi() / 4) + ((($lat) * pi()) / 180) / 2)))"
+      def x2deg(tx: String) = s"(((CAST($tx AS DOUBLE) / 512.0) * 360.0) - 180.0)"
+      // pixel projection of an mm-rounded coordinate
+      def pxOf(x: String) = s"CAST(trunc(((($x) - tminx) / xs) * 4096.0) AS BIGINT)"
+      def pyOf(y: String) = s"CAST(trunc(((tmaxy - ($y)) / ys) * 4096.0) AS BIGINT)"
+      def mm(v: String) = s"(round(($v) * 1000) / 1000.0)"
+      (s"WITH $P, b0 AS (SELECT pid, (pid * 7) % 512 AS tx, (pid % 312) + 100 AS ty FROM pts), " +
+      s"t0 AS (SELECT pid, ${mercX(x2deg("tx"))} AS tminx, ${mercX(x2deg("tx + 1"))} AS tmaxx, " +
+      s"${mercY(y2deg("ty + 1"))} AS tminy, ${mercY(y2deg("ty"))} AS tmaxy FROM b0), " +
+      "t1 AS (SELECT pid, tminx, tminy, tmaxx, tmaxy, tmaxx - tminx AS xs, tmaxy - tminy AS ys FROM t0), " +
+      "g0 AS (SELECT pid, tminx, tmaxy, xs, ys, " +
+      "tminx + (((pid % 8) * 0.05) + 0.1) * xs AS gl, " +
+      "tminy + (((pid % 9) * 0.05) + 0.1) * ys AS gt FROM t1), " +
+      "g1 AS (SELECT pid, tminx, tmaxy, xs, ys, gl, gt, " +
+      "gl + (((pid % 4) * 0.05) + 0.25) * xs AS ga, " +
+      "gt + (((pid % 6) * 0.04) + 0.25) * ys AS gb FROM g0), " +
+      // bow-tie diagonal intersection (segmentIntersect(l1=(A,T)->(L,B), l2=(L,T)->(A,B)))
+      "g2 AS (SELECT *, ((ga * gb) - (gt * gl)) AS cross1, ((gl * gb) - (gt * ga)) AS cross2 FROM g1), " +
+      "g3 AS (SELECT *, " +
+      "((cross1 * (gl - ga)) - ((ga - gl) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS bx, " +
+      "((cross1 * (gt - gb)) - ((gt - gb) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS by " +
+      "FROM g2), " +
+      // pixel coordinates of the mm-rounded makevalid vertices
+      s"px AS (SELECT pid, ${pxOf(mm("gl"))} AS pl, ${pxOf(mm("ga"))} AS pa, ${pxOf(mm("bx"))} AS pc, " +
+      s"${pyOf(mm("gt"))} AS qt, ${pyOf(mm("gb"))} AS qb, ${pyOf(mm("by"))} AS qc FROM g3), " +
+      "cm AS (SELECT pid, CASE WHEN pid % 2 = 0 THEN " +
+      s"[9, ${zz("pl")}, ${zz("qb")}, 26, ${zz("pa - pl")}, ${zz("qb - qb")}, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pl - pa")}, ${zz("qt - qt")}, 15] " +
+      "ELSE " +
+      s"[9, ${zz("pa")}, ${zz("qb")}, 18, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pc - pa")}, ${zz("qc - qt")}, 15, " +
+      s"9, ${zz("pl - pc")}, ${zz("qb - qc")}, 18, ${zz("pc - pl")}, ${zz("qc - qb")}, ${zz("pl - pc")}, ${zz("qt - qc")}, 15] END AS cmds FROM px) " +
+      "SELECT pid, 3 AS mvt_type, CAST(len(cmds) AS BIGINT) AS n_cmds, " +
+      "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cmds, c -> CAST(c AS BIGINT))), " +
+      "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT) AS chash FROM cm")
+    },
 
     "q34_ann_lsh" -> {
       ("WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +

@@ -72,6 +72,46 @@ case class StMvtGeometry(geo: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
+/** tile extent in web-mercator meters (reference slippy/tile_grid.go:96-108
+  * FromNative/Extent for the 3857 grid): struct(minx,miny,maxx,maxy).
+  */
+case class StTileExtent3857(z: Expression, x: Expression, y: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(IntegerType, LongType, LongType)
+  override def children: Seq[Expression] = Seq(z, x, y)
+  override def dataType: DataType = StructType(Seq(
+    StructField("minx", DoubleType, false), StructField("miny", DoubleType, false),
+    StructField("maxx", DoubleType, false), StructField("maxy", DoubleType, false)))
+  protected def evalN(v: Array[Any]): Any = {
+    val e = Slippy.tileExtent3857(v(0).asInstanceOf[Int],
+      v(1).asInstanceOf[Long].toInt, v(2).asInstanceOf[Long].toInt)
+    row(e.minx, e.miny, e.maxx, e.maxy)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2))
+}
+
+/** PrepareGeo against an explicit native-unit tile extent (reference
+  * mvt/prepare.go:13-78, the cmd/main.go:229 call shape) — unlike
+  * StPrepareTile this takes the extent in meters/degrees directly, as the
+  * 3857 pipeline needs.
+  */
+case class StPrepareExtent(geo: Expression, minx: Expression, miny: Expression,
+                           maxx: Expression, maxy: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] =
+    Seq(BinaryType, DoubleType, DoubleType, DoubleType, DoubleType)
+  override def children: Seq[Expression] = Seq(geo, minx, miny, maxx, maxy)
+  override def dataType: DataType = BinaryType
+  protected def evalN(v: Array[Any]): Any = {
+    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    val ext = Extent(v(1).asInstanceOf[Double], v(2).asInstanceOf[Double],
+      v(3).asInstanceOf[Double], v(4).asInstanceOf[Double])
+    Wkb.encode(Mvt.prepareGeo(g, ext))
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 /** WKB → GeoJSON text (reference encoding/geojson). */
 case class StAsGeoJson(geo: Expression) extends GeomExpr {
   override def inputTypesImpl: Seq[DataType] = Seq(BinaryType)

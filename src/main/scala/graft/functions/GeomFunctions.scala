@@ -76,6 +76,11 @@ object GeomFunctions {
   def st_makevalid(geo: Column, minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
     col(StMakeValid(ex(geo), ex(minx), ex(miny), ex(maxx), ex(maxy)))
   def st_prepare_tile(geo: Column, cell: Column): Column = col(StPrepareTile(ex(geo), ex(cell)))
+  def st_tile_extent_3857(z: Column, x: Column, y: Column): Column =
+    col(StTileExtent3857(ex(z), ex(x), ex(y)))
+  def st_prepare_extent(geo: Column, minx: Column, miny: Column,
+                        maxx: Column, maxy: Column): Column =
+    col(StPrepareExtent(ex(geo), ex(minx), ex(miny), ex(maxx), ex(maxy)))
   def st_mvt_geometry(geo: Column): Column = col(StMvtGeometry(ex(geo)))
   def st_asgeojson(geo: Column): Column = col(StAsGeoJson(ex(geo)))
   def st_geomfromgeojson(text: Column): Column = col(StGeomFromGeoJson(ex(text)))
