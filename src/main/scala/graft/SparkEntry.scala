@@ -338,6 +338,73 @@ object SparkEntry {
       graft.operators.Ann.lshTopK(qs, emb, k = 5, dim = 64, bits = 8, multiProbe = true)
     }),
 
+    "q35_simplify_dp" -> ((s, dir) => {
+      // 5-point zigzag exercising REAL Douglas-Peucker recursion: top-level
+      // split at the forced max (p2, 2° off the baseline), then each 3-point
+      // half either keeps all (dmax > tol, len ≤ 3 rule) or collapses to its
+      // endpoints; midpoint dedupe joins the halves. tol = 0.5.
+      def c(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        concat(x.cast("string"), lit(" "), y.cast("string"))
+      val p = Synth.points(s, dir)
+        .withColumn("y1v", col("lat") + (col("pid") % 3).cast("double") * 0.3)
+        .withColumn("y3v", col("lat") + (col("pid") % 5).cast("double") * 0.2)
+        .withColumn("ls", st_geomfromwkt(concat(lit("LINESTRING ("),
+          c(col("lon"), col("lat")), lit(","),
+          c(col("lon") + 1, col("y1v")), lit(","),
+          c(col("lon") + 2, col("lat") + 2), lit(","),
+          c(col("lon") + 3, col("y3v")), lit(","),
+          c(col("lon") + 4, col("lat")), lit(")"))))
+        .withColumn("g", st_simplify(col("ls"), lit(0.5)))
+      p.select(col("pid"), st_num_points(col("g")).as("npts"),
+        aggregate(st_dump_points(col("g")), lit(0L), (acc, q) =>
+          ((acc * 31L) + (round(q.getField("x") * 1000000.0).cast("long") * 1000003L +
+            round(q.getField("y") * 1000000.0).cast("long"))) % 1000000000000007L).as("vhash"))
+    }),
+
+    "q36_rectify" -> ((s, dir) => {
+      // winding rectification: ring 0 forced clockwise; even pids supply a
+      // CCW triangle (must reverse), odd pids a CW one (kept). The hash is
+      // ORDER-DEPENDENT (rolling), so it gates the reversal itself.
+      def c(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        concat(x.cast("string"), lit(" "), y.cast("string"))
+      val p0 = (col("lon"), col("lat"))
+      val p1 = (col("lon") + 3, col("lat") + 1)
+      val p2 = (col("lon") + 1, col("lat") + 2)
+      val ccw = concat(lit("POLYGON (("), c(p0._1, p0._2), lit(","), c(p1._1, p1._2),
+        lit(","), c(p2._1, p2._2), lit(","), c(p0._1, p0._2), lit("))"))
+      val cw = concat(lit("POLYGON (("), c(p0._1, p0._2), lit(","), c(p2._1, p2._2),
+        lit(","), c(p1._1, p1._2), lit(","), c(p0._1, p0._2), lit("))"))
+      Synth.points(s, dir)
+        .withColumn("g", st_rectify_polygon(st_geomfromwkt(
+          when(col("pid") % 2 === 0, ccw).otherwise(cw))))
+        .select(col("pid"), st_num_points(col("g")).as("npts"),
+          aggregate(st_dump_points(col("g")), lit(0L), (acc, q) =>
+            ((acc * 31L) + (round(q.getField("x") * 1000000.0).cast("long") * 1000003L +
+              round(q.getField("y") * 1000000.0).cast("long"))) % 1000000000000007L).as("vhash"))
+    }),
+
+    "q37_clip_line" -> ((s, dir) => {
+      // the 4-case linestring clip walk (clip/linestring.go:45-170): a
+      // 3-point polyline entering through the left edge and exiting through
+      // the right edge of a per-row box; output = [entry, p1, exit], with
+      // the entry/exit points produced by segmentIntersect against the CW
+      // box edges — mirrored op-for-op in the oracle.
+      def c(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        concat(x.cast("string"), lit(" "), y.cast("string"))
+      val ls = concat(lit("LINESTRING ("),
+        c(col("lon") - 1, col("lat") + 0.5), lit(","),
+        c(col("lon") + 1, col("lat") + 1), lit(","),
+        c(col("lon") + 3, col("lat") + 1.5), lit(")"))
+      Synth.points(s, dir)
+        .withColumn("g", st_clip(st_geomfromwkt(ls),
+          col("lon"), col("lat"), col("lon") + 2, col("lat") + 2))
+        .select(col("pid"), st_geomtype(col("g")).as("gtype"),
+          st_num_points(col("g")).as("npts"),
+          aggregate(st_dump_points(col("g")), lit(0L), (acc, q) =>
+            ((acc * 31L) + (round(q.getField("x") * 1000000.0).cast("long") * 1000003L +
+              round(q.getField("y") * 1000000.0).cast("long"))) % 1000000000000007L).as("vhash"))
+    }),
+
     "q28_lang_score" -> ((s, dir) => {
       val padded = concat(lit(" "), lower(col("text")), lit(" "))
       // " word " (len+2) → " x" (2): length drops by len(word) per hit
@@ -470,6 +537,72 @@ object SparkEntry {
       "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
       "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
       "FROM p QUALIFY rk <= 5"),
+
+    // 5-point DP: keepL/keepR mirror the recursion's perpendicular-distance
+    // comparisons; rolling vertex hash gates which points survive and order
+    "q35_simplify_dp" -> {
+      val M = "1000000000000007"
+      def h(x: String, y: String) =
+        s"(CAST(round(($x) * 1000000.0) AS BIGINT) * 1000003 + CAST(round(($y) * 1000000.0) AS BIGINT))"
+      (s"WITH $P, s AS (SELECT pid, lon, lat, lon + 1 AS x1v, lat + ((pid % 3) * 0.3) AS y1v, " +
+      "lon + 2 AS x2v, lat + 2 AS y2v, lon + 3 AS x3v, lat + ((pid % 5) * 0.2) AS y3v, lon + 4 AS x4v FROM pts), " +
+      "d AS (SELECT *, " +
+      "abs(((((y2v - lat) * x1v) - ((x2v - lon) * y1v)) + (x2v * lat)) - (y2v * lon)) / " +
+      "sqrt(((y2v - lat) * (y2v - lat)) + ((x2v - lon) * (x2v - lon))) AS dl, " +
+      "abs(((((lat - y2v) * x3v) - ((x4v - x2v) * y3v)) + (x4v * y2v)) - (lat * x2v)) / " +
+      "sqrt(((lat - y2v) * (lat - y2v)) + ((x4v - x2v) * (x4v - x2v))) AS dr FROM s), " +
+      "k AS (SELECT *, dl > 0.5 AS keepl, dr > 0.5 AS keepr, " +
+      s"${h("lon", "lat")} AS h0, ${h("x1v", "y1v")} AS h1, ${h("x2v", "y2v")} AS h2, " +
+      s"${h("x3v", "y3v")} AS h3, ${h("x4v", "lat")} AS h4 FROM d), " +
+      s"r1 AS (SELECT *, h0 % $M AS a1 FROM k), " +
+      s"r2 AS (SELECT *, CASE WHEN keepl THEN ((a1 * 31) + h1) % $M ELSE a1 END AS a2 FROM r1), " +
+      s"r3 AS (SELECT *, ((a2 * 31) + h2) % $M AS a3 FROM r2), " +
+      s"r4 AS (SELECT *, CASE WHEN keepr THEN ((a3 * 31) + h3) % $M ELSE a3 END AS a4 FROM r3) " +
+      "SELECT pid, CAST(3 + CAST(keepl AS INTEGER) + CAST(keepr AS INTEGER) AS INTEGER) AS npts, " +
+      s"CAST(((a4 * 31) + h4) % $M AS BIGINT) AS vhash FROM r4")
+    },
+
+    // rectify: even pid rings are CCW → reversed output [p2,p1,p0];
+    // odd are already CW → kept [p0,p2,p1]
+    "q36_rectify" -> {
+      val M = "1000000000000007"
+      def h(x: String, y: String) =
+        s"(CAST(round(($x) * 1000000.0) AS BIGINT) * 1000003 + CAST(round(($y) * 1000000.0) AS BIGINT))"
+      (s"WITH $P, s AS (SELECT pid, ${h("lon", "lat")} AS h0, " +
+      s"${h("lon + 3", "lat + 1")} AS h1, ${h("lon + 1", "lat + 2")} AS h2 FROM pts) " +
+      "SELECT pid, CAST(3 AS INTEGER) AS npts, CAST(CASE WHEN pid % 2 = 0 " +
+      s"THEN ((((((h2 % $M) * 31) + h1) % $M) * 31 + h0) % $M) " +
+      s"ELSE ((((((h0 % $M) * 31) + h2) % $M) * 31 + h1) % $M) END AS BIGINT) AS vhash FROM s")
+    },
+
+    // clip walk: entry/exit = segmentIntersect(edge, segment) with the
+    // reference −0→0 normalization, mirrored op-for-op
+    "q37_clip_line" -> {
+      val M = "1000000000000007"
+      def h(x: String, y: String) =
+        s"(CAST(round(($x) * 1000000.0) AS BIGINT) * 1000003 + CAST(round(($y) * 1000000.0) AS BIGINT))"
+      (s"WITH $P, e AS (SELECT pid, lon, lat, " +
+      // entry: l1 = left edge (lon,lat+2)->(lon,lat); l2 = (lon-1,lat+0.5)->(lon+1,lat+1)
+      "((lon * lat) - ((lat + 2) * lon)) AS c1a, " +
+      "(((lon - 1) * (lat + 1)) - ((lat + 0.5) * (lon + 1))) AS c2a, " +
+      "(lon - lon) AS dx12a, ((lat + 2) - lat) AS dy12a, " +
+      "((lon - 1) - (lon + 1)) AS dx34a, ((lat + 0.5) - (lat + 1)) AS dy34a, " +
+      // exit: l1 = right edge (lon+2,lat)->(lon+2,lat+2); l2 = (lon+1,lat+1)->(lon+3,lat+1.5)
+      "(((lon + 2) * (lat + 2)) - (lat * (lon + 2))) AS c1b, " +
+      "(((lon + 1) * (lat + 1.5)) - ((lat + 1) * (lon + 3))) AS c2b, " +
+      "((lon + 2) - (lon + 2)) AS dx12b, (lat - (lat + 2)) AS dy12b, " +
+      "((lon + 1) - (lon + 3)) AS dx34b, ((lat + 1) - (lat + 1.5)) AS dy34b FROM pts), " +
+      "f AS (SELECT pid, lon, lat, " +
+      "((c1a * dx34a) - (dx12a * c2a)) / ((dx12a * dy34a) - (dy12a * dx34a)) AS ex0, " +
+      "((c1a * dy34a) - (dy12a * c2a)) / ((dx12a * dy34a) - (dy12a * dx34a)) AS ey0, " +
+      "((c1b * dx34b) - (dx12b * c2b)) / ((dx12b * dy34b) - (dy12b * dx34b)) AS xx0, " +
+      "((c1b * dy34b) - (dy12b * c2b)) / ((dx12b * dy34b) - (dy12b * dx34b)) AS xy0 FROM e), " +
+      "g AS (SELECT pid, lon, lat, " +
+      "CASE WHEN ex0 = 0 THEN 0.0 ELSE ex0 END AS ex, CASE WHEN ey0 = 0 THEN 0.0 ELSE ey0 END AS ey, " +
+      "CASE WHEN xx0 = 0 THEN 0.0 ELSE xx0 END AS xx, CASE WHEN xy0 = 0 THEN 0.0 ELSE xy0 END AS xy FROM f) " +
+      "SELECT pid, 'MultiLineString' AS gtype, CAST(3 AS INTEGER) AS npts, " +
+      s"CAST(((((((${h("ex", "ey")} % $M) * 31) + ${h("lon + 1", "lat + 1")}) % $M) * 31 + ${h("xx", "xy")}) % $M) AS BIGINT) AS vhash FROM g")
+    },
 
     // composed cmd/main.go pipeline: tile ext (3857) → 1px clipRegion →
     // DP simplify (identity by construction: features ≥1000px) → makevalid
