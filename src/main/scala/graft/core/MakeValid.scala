@@ -28,6 +28,14 @@ object MakeValid {
 
   private val cmp = Cmp.HiCmp
 
+  /** The reference's experimental constrained-insertion mode
+    * (constrained.go:24-31: TEGOLA_MAKEVALID=CONSTRAINED, default OFF).
+    * Mirrored as GRAFT_MAKEVALID=CONSTRAINED; `enableConstraints` is a var
+    * so tests can toggle without the environment.
+    */
+  var enableConstraints: Boolean =
+    sys.env.get("GRAFT_MAKEVALID").exists(_.toUpperCase.contains("CONSTRAINED"))
+
   /** reference makevalid.go:87-150 Destructure. */
   def destructure(clipbox: Option[Extent],
                   polys: IndexedSeq[IndexedSeq[IndexedSeq[Pt]]]): IndexedSeq[Seg] = {
@@ -80,23 +88,36 @@ object MakeValid {
     out.result()
   }
 
-  /** reference constrained.go:33-113 Triangles (default: constraints OFF):
-    * dedupe points exactly, drop zero-length constraints, plain Delaunay.
+  /** reference constrained.go:33-113 Triangles: dedupe points exactly,
+    * drop zero-length constraints, plain Delaunay; when the constrained
+    * mode is on (constrained.go:84-96), force each constraint edge into
+    * the subdivision, logging-and-skipping individual failures exactly as
+    * the reference does.
     */
   def delaunayTriangles(segs: IndexedSeq[Seg]): IndexedSeq[(Pt, Pt, Pt)] = {
     val seen = mutable.HashSet[Pt]()
     val pts = mutable.ArrayBuffer[Pt]()
+    val constraints = mutable.ArrayBuffer[Seg]()
     segs.foreach { s =>
       val lnt = math.sqrt(s.lengthSquared)
       if (!Cmp.Default.float(lnt, 0.0)) {
         if (!seen.contains(s.p1)) { seen += s.p1; pts += s.p1 }
         if (!seen.contains(s.p2)) { seen += s.p2; pts += s.p2 }
+        constraints += s
       }
     }
     if (pts.isEmpty) return Vector.empty
     Subdivision.forPoints(pts.toIndexedSeq) match {
-      case Some(sd) => sd.triangles(includeFrame = false)
-      case None     => Vector.empty
+      case Some(sd) =>
+        if (enableConstraints) {
+          val vx = SubdivisionConstrained.vertexIndex(sd)
+          constraints.foreach { ct =>
+            // failures are skipped, not fatal (constrained.go:91-94)
+            SubdivisionConstrained.insertConstraint(sd, vx, ct.p1, ct.p2)
+          }
+        }
+        sd.triangles(includeFrame = false)
+      case None => Vector.empty
     }
   }
 

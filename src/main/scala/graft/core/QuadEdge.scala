@@ -44,6 +44,12 @@ object QuadEdge {
 
     def asSeg: Seg = Seg(orig, dest)
 
+    /** reference edge.go:222-232 IsEqual: `e == &e1.qe.e[e.num]` — true
+      * whenever the other edge belongs to the SAME quad-edge group (so the
+      * sym matches too); FindIntersectingEdges' termination relies on this.
+      */
+    def isEqual(o: Edge): Boolean = o != null && (qe eq o.qe)
+
     /** reference edge.go FindONextDest (HiCMP equality). */
     def findONextDest(d: Pt): Edge = {
       if (cmp.pointEqual(d, dest)) return this
