@@ -50,6 +50,17 @@ object Wkb {
     buf.array()
   }
 
+  /** EWKB encode (reference wkb EncodeBytesSRID): a non-zero SRID sets the
+    * 0x20000000 flag on the TOP-LEVEL type word and writes the srid int32
+    * right after it; nested geometries stay plain.
+    */
+  def encodeSrid(srid: Int, g: Geometry): Array[Byte] = {
+    if (srid == 0) return encode(g)
+    val buf = ByteBuffer.allocate(sizeOf(g) + 4).order(ByteOrder.LITTLE_ENDIAN)
+    write(buf, g, srid)
+    buf.array()
+  }
+
   private def writePts(buf: ByteBuffer, pts: IndexedSeq[Pt]): Unit = {
     var i = 0
     while (i < pts.length) {
@@ -64,35 +75,39 @@ object Wkb {
     buf.putDouble(ring.head._1); buf.putDouble(ring.head._2) // close
   }
 
-  private def write(buf: ByteBuffer, g: Geometry): Unit = {
+  private def write(buf: ByteBuffer, g: Geometry, srid: Int = 0): Unit = {
     buf.put(1.toByte) // little-endian BOM
+    def hdr(t: Int): Unit = {
+      if (srid != 0) { buf.putInt(t | SridFlag); buf.putInt(srid) }
+      else buf.putInt(t)
+    }
     g match {
       case GPoint(p) =>
-        buf.putInt(PointT); buf.putDouble(p._1); buf.putDouble(p._2)
+        hdr(PointT); buf.putDouble(p._1); buf.putDouble(p._2)
       case GLineString(ps) =>
-        buf.putInt(LineStringT); buf.putInt(ps.length); writePts(buf, ps)
+        hdr(LineStringT); buf.putInt(ps.length); writePts(buf, ps)
       case GPolygon(rs) =>
-        buf.putInt(PolygonT); buf.putInt(rs.length); rs.foreach(writeRing(buf, _))
+        hdr(PolygonT); buf.putInt(rs.length); rs.foreach(writeRing(buf, _))
       case GMultiPoint(ps) =>
-        buf.putInt(MultiPointT); buf.putInt(ps.length)
+        hdr(MultiPointT); buf.putInt(ps.length)
         ps.foreach { p =>
           buf.put(1.toByte); buf.putInt(PointT)
           buf.putDouble(p._1); buf.putDouble(p._2)
         }
       case GMultiLineString(ls) =>
-        buf.putInt(MultiLineStringT); buf.putInt(ls.length)
+        hdr(MultiLineStringT); buf.putInt(ls.length)
         ls.foreach { l =>
           buf.put(1.toByte); buf.putInt(LineStringT)
           buf.putInt(l.length); writePts(buf, l)
         }
       case GMultiPolygon(mp) =>
-        buf.putInt(MultiPolygonT); buf.putInt(mp.length)
+        hdr(MultiPolygonT); buf.putInt(mp.length)
         mp.foreach { p =>
           buf.put(1.toByte); buf.putInt(PolygonT)
           buf.putInt(p.length); p.foreach(writeRing(buf, _))
         }
       case GCollection(gs) =>
-        buf.putInt(CollectionT); buf.putInt(gs.length)
+        hdr(CollectionT); buf.putInt(gs.length)
         gs.foreach(write(buf, _))
     }
   }
