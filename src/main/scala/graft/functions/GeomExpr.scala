@@ -51,13 +51,14 @@ import GeomExpr._
 // ---------------------------------------------------------------------------
 
 /** WKT text → WKB binary (null on parse failure). reference wkt_decode.go. */
-case class StGeomFromWkt(child: Expression) extends GeomExpr {
+case class StGeomFromWkt(child: Expression)
+    extends org.apache.spark.sql.graft.GeomExprStaticRef {
   override def inputTypesImpl: Seq[DataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = BinaryType
+  protected def staticKernel: String = "graft.core.WkbKernels.fromWkt"
   protected def evalN(v: Array[Any]): Any =
-    try Wkb.encode(Wkt.decode(v(0).asInstanceOf[UTF8String].toString))
-    catch { case _: Exception => null }
+    graft.core.WkbKernels.fromWkt(v(0).asInstanceOf[UTF8String])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
 
@@ -203,37 +204,15 @@ case class StNumPoints(child: Expression) extends GeomExpr {
   * is single-threaded); joins against a broadcast polygon side hit the cache
   * nearly always instead of re-parsing WKB per row.
   */
-case class StContains(geo: Expression, xe: Expression, ye: Expression) extends GeomExpr {
+case class StContains(geo: Expression, xe: Expression, ye: Expression)
+    extends org.apache.spark.sql.graft.GeomExprStaticRef {
   override def inputTypesImpl: Seq[DataType] = Seq(BinaryType, DoubleType, DoubleType)
   override def children: Seq[Expression] = Seq(geo, xe, ye)
   override def dataType: DataType = BooleanType
-  override def stateful: Boolean = true
-
-  @transient private lazy val cache =
-    new java.util.LinkedHashMap[java.nio.ByteBuffer, PolygonHitmap](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[java.nio.ByteBuffer, PolygonHitmap]): Boolean = size() > 256
-    }
-
-  private def hitmapFor(bytes: Array[Byte]): PolygonHitmap = {
-    val key = java.nio.ByteBuffer.wrap(bytes)
-    var hm = cache.get(key)
-    if (hm == null) {
-      hm = geomOrNull(bytes) match {
-        case GPolygon(rs)      => PolygonHitmap.ofPolygon(rs)
-        case GMultiPolygon(mp) => PolygonHitmap(mp)
-        case _                 => null
-      }
-      if (hm != null) cache.put(key, hm)
-    }
-    hm
-  }
-
-  protected def evalN(v: Array[Any]): Any = {
-    val hm = hitmapFor(v(0).asInstanceOf[Array[Byte]])
-    if (hm == null) null
-    else hm.labelInside((v(1).asInstanceOf[Double], v(2).asInstanceOf[Double]))
-  }
+  protected def staticKernel: String = "graft.core.WkbKernels.contains"
+  protected def evalN(v: Array[Any]): Any =
+    graft.core.WkbKernels.contains(v(0).asInstanceOf[Array[Byte]],
+      v(1).asInstanceOf[Double], v(2).asInstanceOf[Double])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1), c(2))
 }

@@ -39,18 +39,14 @@ case class StMakeValid(geo: Expression, c1: Expression, c2: Expression,
 }
 
 /** project geometry into tile pixel space (reference mvt/prepare.go). */
-case class StPrepareTile(geo: Expression, cell: Expression) extends GeomExpr {
+case class StPrepareTile(geo: Expression, cell: Expression)
+    extends org.apache.spark.sql.graft.GeomExprStaticRef {
   override def inputTypesImpl: Seq[DataType] = Seq(BinaryType, LongType)
   override def children: Seq[Expression] = Seq(geo, cell)
   override def dataType: DataType = BinaryType
-  protected def evalN(v: Array[Any]): Any = {
-    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
-    if (g == null) return null
-    val c = v(1).asInstanceOf[Long]
-    val ext = Slippy.tileExtent4326(Slippy.unpackZ(c), Slippy.unpackX(c).toInt,
-      Slippy.unpackY(c).toInt)
-    Wkb.encode(Mvt.prepareGeo(g, ext))
-  }
+  protected def staticKernel: String = "graft.core.WkbKernels.prepareTile"
+  protected def evalN(v: Array[Any]): Any =
+    graft.core.WkbKernels.prepareTile(v(0).asInstanceOf[Array[Byte]], v(1).asInstanceOf[Long])
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
