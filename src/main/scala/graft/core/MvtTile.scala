@@ -94,6 +94,41 @@ object MvtTile {
     w.result()
   }
 
+  /** Single-pass layer encode: features are consumed from an ITERATOR and
+    * each is serialized immediately, so a pathological hot tile (dense
+    * urban cell at low zoom) holds only the growing OUTPUT bytes and the
+    * key/value dedup maps in memory — never the decoded feature list.
+    * Byte-identical to `encodeLayer` (same field order, same incremental
+    * key/value map construction).
+    */
+  def encodeLayerStream(name: String, features: Iterator[Feature],
+                        extent: Int = 4096, version: Int = 2): Array[Byte] = {
+    val keyIdx = mutable.LinkedHashMap[String, Int]()
+    val valIdx = mutable.LinkedHashMap[String, Int]()
+    val w = new Writer
+    w.varintField(15, version.toLong)
+    w.stringField(1, name)
+    features.foreach { f =>
+      val tags = f.properties.flatMap { case (k, v) =>
+        val ki = keyIdx.getOrElseUpdate(k, keyIdx.size)
+        val vi = valIdx.getOrElseUpdate(v, valIdx.size)
+        Seq(ki.toLong, vi.toLong)
+      }
+      w.bytesField(2, encodeFeature(f, tags))
+    }
+    keyIdx.keys.foreach(k => w.stringField(3, k))
+    valIdx.keys.foreach(v => w.bytesField(4, encodeValue(v)))
+    w.varintField(5, extent.toLong)
+    w.result()
+  }
+
+  /** Tile assembly from pre-encoded layer bytes (streaming path). */
+  def encodeTileFromLayerBytes(layerBytes: IndexedSeq[Array[Byte]]): Array[Byte] = {
+    val w = new Writer
+    layerBytes.foreach(b => w.bytesField(3, b))
+    w.result()
+  }
+
   // ---- minimal decode (round-trip testing only) ----
 
   def decodeTileLayerNames(bytes: Array[Byte]): IndexedSeq[String] = {

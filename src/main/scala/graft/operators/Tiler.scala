@@ -66,11 +66,16 @@ object Tiler {
       .as[(Long, String, Array[Long], Int)]
     assigned.groupByKey(_._1)
       .mapGroups { (cell, rows) =>
-        val feats = rows.zipWithIndex.map { case ((_, fid, cmds, gt), i) =>
-          MvtTile.Feature(i + 1L, gt, cmds.toIndexedSeq,
-            Vector("fid" -> fid))
-        }.toIndexedSeq
-        val bytes = MvtTile.encodeTile(Vector(MvtTile.Layer(layerName, feats)))
+        // streaming encode: one pass over the iterator, no per-tile feature
+        // materialization — a hot tile at 10× the median feature count
+        // holds only the output bytes, not the decoded features
+        var i = 0L
+        val featIt = rows.map { case (_, fid, cmds, gt) =>
+          i += 1
+          MvtTile.Feature(i, gt, cmds.toIndexedSeq, Vector("fid" -> fid))
+        }
+        val layerBytes = MvtTile.encodeLayerStream(layerName, featIt)
+        val bytes = MvtTile.encodeTileFromLayerBytes(Vector(layerBytes))
         (Slippy.unpackZ(cell), Slippy.unpackX(cell), Slippy.unpackY(cell), bytes)
       }
       .toDF("z", "x", "y", "mvt")

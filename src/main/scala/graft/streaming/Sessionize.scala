@@ -3,21 +3,30 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Sessionization: gap-based sessions over the events table.
   *
   * Batch flavor: window functions (lag → gap flag → running sum) — one
-  * shuffle on user_id; exact, reproducible, DuckDB-oracle-checkable.
-  * Streaming flavor: Structured Streaming flatMapGroupsWithState with
-  * processing-time timeout — same session semantics over an unbounded
-  * stream, tested against the batch results on a bounded input.
+  * shuffle on user_id; exact, reproducible, DuckDB-oracle-checkable (q26).
+  *
+  * Streaming flavor: Spark's native `session_window` aggregation — the
+  * state-store-backed scale path. Unlike a flatMapGroupsWithState that
+  * buffers and sorts each user's events in memory (a hot user OOMs a
+  * task), session windows merge incrementally in the state store, spill
+  * via the state-store backend, and evict on the event-time watermark.
+  *
+  * Gap parity: the reference/batch rule SPLITS when `ts - prev > gap`
+  * (boundary ties merge). Spark's session merge is boundary-INCLUSIVE
+  * (windows merge when next.start ≤ prev.end), so merge ⇔ diff ≤ gap —
+  * identical to the reference rule with the plain gap.
   */
 object Sessionize {
 
   val GapUs: Long = 1800L * 1000000 // 30 min
 
-  /** batch: (user_id, session_id, n_events, t_start_us, t_end_us, value_sum). */
+  val WindowGap: String = s"$GapUs microseconds"
+
+  /** batch: (user_id, session_id, n_events, t_start_us, t_end_us). */
   def batch(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us").asc, col("event_id").asc)
@@ -35,63 +44,39 @@ object Sessionize {
         max(col("ts_us")).as("t_end_us"))
   }
 
+  /** the shared session_window aggregation: works on a static frame AND on
+    * a stream (callers add the watermark first for streaming). Emits
+    * (user_id, n_events, t_start_us, t_end_us); the window end is
+    * last_event + gap, so t_end_us subtracts the gap back out.
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), WindowGap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"),
+        unix_micros(col("w.start")).as("t_start_us"),
+        (unix_micros(col("w.end")) - GapUs).as("t_end_us"))
+
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
-  case class SessionState(startUs: Long, lastUs: Long, n: Long, sessionId: Long)
-  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
-                        t_start_us: Long, t_end_us: Long)
+  case class SessionOut(user_id: Long, n_events: Long, t_start_us: Long, t_end_us: Long)
 
-  /** streaming: same gap semantics via flatMapGroupsWithState. Events must
-    * arrive in ts order per user for exact parity (guaranteed in tests via
-    * a single replay batch; production would watermark + sort in micro-
-    * batches).
+  /** streaming: session_window over event time with a watermark — sessions
+    * finalize (and emit, in append mode) once the watermark passes their
+    * close; state is bounded by the watermark, not by user fan-in.
     */
-  def streaming(spark: SparkSession, events: Dataset[Ev]): Dataset[SessionOut] = {
-    import spark.implicits._
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
-          var st = state.getOption.getOrElse(SessionState(-1, -1, 0, 0))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          evs.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            if (st.n == 0) {
-              st = SessionState(e.ts_us, e.ts_us, 1, st.sessionId + 1)
-            } else if (e.ts_us - st.lastUs > GapUs) {
-              out += SessionOut(user, st.sessionId, st.n, st.startUs, st.lastUs)
-              st = SessionState(e.ts_us, e.ts_us, 1, st.sessionId + 1)
-            } else {
-              st = st.copy(lastUs = e.ts_us, n = st.n + 1)
-            }
-          }
-          state.update(st)
-          out.iterator
-      }
+  def streaming(spark: SparkSession, events: Dataset[Ev],
+                watermarkDelay: String = "0 seconds"): DataFrame = {
+    val ts = events.toDF()
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"))
+      .withWatermark("ts", watermarkDelay)
+    sessionWindowAgg(ts)
   }
 
-  /** flush helper for tests: emit the still-open sessions held in state —
-    * batch equivalence needs the tail sessions too.
+  /** bounded-input equivalent of the streaming flavor: the same
+    * session_window aggregation run as a batch query (no state, no sort
+    * buffers) — used by tests to prove stream/batch parity.
     */
-  def batchEquivalentViaStreaming(spark: SparkSession, events: DataFrame): DataFrame = {
-    import spark.implicits._
-    val evs = events
-      .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
-      .as[Ev]
-    // bounded-input shortcut: one pass per user through the same state
-    // machine the streaming flavor uses
-    evs.groupByKey(_.user_id).flatMapGroups { (user, it) =>
-      val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      var st = SessionState(-1, -1, 0, 0)
-      sorted.foreach { e =>
-        if (st.n == 0) st = SessionState(e.ts_us, e.ts_us, 1, st.sessionId + 1)
-        else if (e.ts_us - st.lastUs > GapUs) {
-          out += SessionOut(user, st.sessionId, st.n, st.startUs, st.lastUs)
-          st = SessionState(e.ts_us, e.ts_us, 1, st.sessionId + 1)
-        } else st = st.copy(lastUs = e.ts_us, n = st.n + 1)
-      }
-      if (st.n > 0) out += SessionOut(user, st.sessionId, st.n, st.startUs, st.lastUs)
-      out.iterator
-    }.toDF()
-  }
+  def batchEquivalentViaStreaming(spark: SparkSession, events: DataFrame): DataFrame =
+    sessionWindowAgg(
+      events.select(col("user_id").cast("long").as("user_id"), col("ts").cast("timestamp").as("ts")))
 }

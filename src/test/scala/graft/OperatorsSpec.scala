@@ -118,17 +118,43 @@ class OperatorsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("sessions_out")
       .outputMode("append").start()
     try {
-      // two sessions for user 7: gap > 30min between event 2 and 3
+      // two sessions for user 7: gap > 30min between event 2 and 3.
+      // append mode only emits once the event-time watermark passes a
+      // session's close, and the watermark advances BETWEEN micro-batches,
+      // so feed the far-future event in a second batch.
       input.addData(
         Sessionize.Ev(7, 1, 1000000L),
-        Sessionize.Ev(7, 2, 2000000L),
-        Sessionize.Ev(7, 3, 2000000L + Sessionize.GapUs + 1))
+        Sessionize.Ev(7, 2, 2000000L))
       q.processAllAvailable()
-      // first session closed and emitted; second still open in state
+      input.addData(Sessionize.Ev(7, 3, 2000000L + Sessionize.GapUs + 1))
+      q.processAllAvailable()
+      input.addData(Sessionize.Ev(7, 4, 2000000L + 10L * Sessionize.GapUs))
+      q.processAllAvailable()
+      // first session (events 1-2) finalized and emitted
       val out = spark.sql("SELECT * FROM sessions_out").as[Sessionize.SessionOut].collect()
-      assert(out.length == 1)
-      assert(out(0).user_id == 7 && out(0).n_events == 2 && out(0).t_start_us == 1000000L)
+      assert(out.exists(o => o.user_id == 7 && o.n_events == 2 &&
+        o.t_start_us == 1000000L && o.t_end_us == 2000000L), out.mkString(";"))
     } finally q.stop()
+  }
+
+  test("streaming layer encode is byte-identical and handles a 10x-median hot tile") {
+    import graft.core.MvtTile
+    def feats(n: Int) = (1 to n).map(i =>
+      MvtTile.Feature(i.toLong, 1, Vector(9L, (2 * i).toLong, (2 * i + 1).toLong),
+        Vector("fid" -> s"f$i", "kind" -> (if (i % 3 == 0) "a" else "b"))))
+    // byte parity on a normal tile
+    val normal = feats(50)
+    assert(java.util.Arrays.equals(
+      MvtTile.encodeLayer(MvtTile.Layer("l", normal)),
+      MvtTile.encodeLayerStream("l", normal.iterator)))
+    // hot tile at 10x the median: the streaming path consumes a one-shot
+    // iterator (no materialized list) and still matches the eager bytes
+    val hot = feats(500)
+    val streamed = MvtTile.encodeLayerStream("l", hot.iterator)
+    assert(java.util.Arrays.equals(MvtTile.encodeLayer(MvtTile.Layer("l", hot)), streamed))
+    assert(java.util.Arrays.equals(
+      MvtTile.encodeTile(Vector(MvtTile.Layer("l", hot))),
+      MvtTile.encodeTileFromLayerBytes(Vector(streamed))))
   }
 
   test("media stub: meta + frame-sampled features are deterministic and distributed") {
