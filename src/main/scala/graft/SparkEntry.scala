@@ -416,6 +416,25 @@ object SparkEntry {
         (hits("the") + hits("and") + hits("of") + hits("to")).as("stop_hits"))
         .withColumn("score", col("stop_hits").cast("double") / col("n_tokens"))
         .withColumn("is_en", col("score") >= 0.05)
+    }),
+
+    "q38_utm_inverse" -> ((s, dir) => {
+      // synthetic UTM coordinates derived from pid by pure arithmetic
+      // (valid zone letters only, northing placed so the latitude series
+      // stays away from the poles); the inverse projection — including the
+      // reference's d6·720 quirk (utm.go ToLngLat) — is mirrored
+      // op-for-op in the DuckDB oracle. Gated at 1e-9° (~0.1 mm).
+      Synth.points(s, dir).select(col("pid"))
+        .withColumn("zn", (col("pid") % 60 + 1).cast("int"))
+        .withColumn("zl", expr("substring('CDEFGHJKLMNPQRSTUVWX', cast(pid % 20 as int) + 1, 1)"))
+        .withColumn("northing",
+          lit(2000000.0) + (col("pid") % 740).cast("double") * 10000.0 +
+            (col("pid") % 1000).cast("double") * 7.13)
+        .withColumn("easting",
+          lit(100000.0) + (col("pid") % 797).cast("double") * 1000.0 +
+            (col("pid") % 13).cast("double") * 7.3)
+        .withColumn("ll", st_lnglat_from_utm(col("northing"), col("easting"), col("zn"), col("zl")))
+        .select(col("pid"), round(col("ll.lng"), 9).as("lng"), round(col("ll.lat"), 9).as("lat"))
     })
   )
 
@@ -787,6 +806,31 @@ object SparkEntry {
       "l AS (SELECT pid, lat, zn, zl, " +
       "((0.9996 * n) * ((a + ((((1.0 - t) + c) * a3) / 6.0)) + (((((5.0 - (10.0 * t3)) + (72.0 * c)) - (58.0 * ep)) * a5) / 120.0))) + 500000.0 AS easting, " +
       "0.9996 * (m + ((n * t0) * (((a2 / 2.0) + (((((5.0 - t) + (9.0 * c)) + (4.0 * c2)) * a4) / 24.0)) + ((((((61.0 - (58.0 * t)) + t2) + (600.0 * c)) - (330.0 * ep)) * a6) / 720.0)))) AS nb FROM k) " +
-      "SELECT pid, round(CASE WHEN lat < 0.0 THEN nb + 10000000.0 ELSE nb END, 3) AS northing, round(easting, 3) AS easting, zn, zl FROM l")
+      "SELECT pid, round(CASE WHEN lat < 0.0 THEN nb + 10000000.0 ELSE nb END, 3) AS northing, round(easting, 3) AS easting, zn, zl FROM l"),
+
+    // Utm.toLngLat mirrored op-for-op (incl. the d6*720 quirk); inputs are
+    // the same pid-derived synthetic UTM coordinates as the Spark side.
+    "q38_utm_inverse" ->
+      (s"WITH $P, b AS (SELECT pid, CAST(pid % 60 + 1 AS INTEGER) AS zn, " +
+      "substr('CDEFGHJKLMNPQRSTUVWX', CAST(pid % 20 AS INTEGER) + 1, 1) AS zl, " +
+      "2000000.0 + CAST(pid % 740 AS DOUBLE) * 10000.0 + CAST(pid % 1000 AS DOUBLE) * 7.13 AS northing, " +
+      "100000.0 + CAST(pid % 797 AS DOUBLE) * 1000.0 + CAST(pid % 13 AS DOUBLE) * 7.3 AS easting FROM pts), " +
+      "c AS (SELECT *, easting - 500000.0 AS x, " +
+      "CASE WHEN zl >= 'N' THEN northing ELSE northing - 10000000.0 END AS y, " +
+      "CAST((zn - 1) * 6 - 180 + 3 AS DOUBLE) AS lngorigin, " +
+      "0.00669438 * 0.00669438 AS e2, (0.00669438 * 0.00669438) * 0.00669438 AS e3, " +
+      "0.00669438 / (1.0 - 0.00669438) AS ep FROM b), " +
+      "d AS (SELECT *, (y / 0.9996) / (6378137.0 * (((1.0 - (0.00669438 / 4.0)) - ((3.0 / 64.0) * e2)) - ((5.0 / 256.0) * e3))) AS mu, " +
+      "(1.0 - sqrt(1.0 - 0.00669438)) / (1.0 + sqrt(1.0 - 0.00669438)) AS e1 FROM c), " +
+      "f AS (SELECT *, e1 * e1 AS e12, (e1 * e1) * e1 AS e13, ((e1 * e1) * e1) * e1 AS e14 FROM d), " +
+      "g AS (SELECT *, ((mu + ((((3.0 / 2.0) * e1) - ((27.0 / 32.0) * e13)) * sin(mu * 2.0))) + ((((21.0 / 16.0) * e12) - ((55.0 / 32.0) * e14)) * sin(mu * 4.0))) + (((151.0 / 96.0) * e13) * sin(mu * 6.0)) AS phi1 FROM f), " +
+      "h AS (SELECT *, tan(phi1) AS pt1, sin(phi1) AS ps1, cos(phi1) AS pc1 FROM g), " +
+      "i AS (SELECT *, 1.0 - ((0.00669438 * ps1) * ps1) AS aa FROM h), " +
+      "j AS (SELECT *, 6378137.0 / sqrt(aa) AS n1, pt1 * pt1 AS t1, (pt1 * pt1) * (pt1 * pt1) AS t12, (0.00669438 * pc1) * pc1 AS c1 FROM i), " +
+      "k AS (SELECT *, c1 * c1 AS c12, 3.0 * (c1 * c1) AS c12_3, (6378137.0 * (1.0 - 0.00669438)) / power(aa, 1.5) AS r1, x / (n1 * 0.9996) AS dd FROM j), " +
+      "l AS (SELECT *, dd * dd AS d2, (dd * dd) * dd AS d3, ((dd * dd) * dd) * dd AS d4, (((dd * dd) * dd) * dd) * dd AS d5, ((((dd * dd) * dd) * dd) * dd) * dd AS d6 FROM k), " +
+      "m AS (SELECT *, phi1 - (((n1 * pt1) / r1) * (((d2 / 2.0) - ((((((5.0 + (3.0 * t1)) + (10.0 * c1)) - (4.0 * c12)) - (9.0 * ep)) * d4) / 24.0)) + ((((((((61.0 + (90.0 * t1)) + (298.0 * c1)) + (45.0 * t12)) - (252.0 * ep)) - c12_3)) * d6) * 720.0))) AS latrad, " +
+      "((dd - ((((1.0 + (2.0 * t1)) + c1) * d3) / 6.0)) + ((((((((5.0 - (2.0 * c1)) + (28.0 * t1)) - c12_3) + (8.0 * ep)) + (24.0 * t12))) * d5) / 120.0)) / pc1 AS lngrad FROM l) " +
+      "SELECT pid, round(lngorigin + ((lngrad * 180.0) / pi()), 9) AS lng, round((latrad * 180.0) / pi(), 9) AS lat FROM m")
   )
 }

@@ -157,4 +157,146 @@ object Mvt {
     }
     (out.toIndexedSeq, tpe)
   }
+
+  // ---- decode (reference encoding/mvt/decode.go:86-304) ----
+
+  /** reference decode.go:302-304 — zigzag in uint32 space. */
+  @inline def decodeZigZag(i: Long): Int = {
+    val u = i & 0xFFFFFFFFL
+    (((u >>> 1) ^ (-(u & 1L))) & 0xFFFFFFFFL).toInt
+  }
+
+  private final class DecodeCursor {
+    var x = 0.0
+    var y = 0.0
+    def decodePoint(px: Long, py: Long): Pt = {
+      x += decodeZigZag(px).toDouble
+      y += decodeZigZag(py).toDouble
+      (x, y)
+    }
+    /** decode.go:275-293 decodeNPoints — optionally prepend the cursor. */
+    def decodeN(n: Int, buf: IndexedSeq[Long], off: Int, encHere: Boolean): IndexedSeq[Pt] = {
+      val out = Vector.newBuilder[Pt]
+      if (encHere) out += ((x, y))
+      var i = 0
+      while (i < n) {
+        out += decodePoint(buf(off + i * 2), buf(off + i * 2 + 1))
+        i += 1
+      }
+      out.result()
+    }
+  }
+
+  @inline private def cmdId(c: Long): Int = (c & 0x7L).toInt
+  @inline private def cmdCount(c: Long): Int = (c >>> 3).toInt
+
+  /** reference decode.go:86-98 DecodeGeometry: command stream → geometry.
+    * Right(None) = nil geometry with nil error (empty POINT stream);
+    * Left = the reference's error/panic messages.
+    */
+  def decodeGeometry(gtype: Int, buf: IndexedSeq[Long]): Either[String, Option[Geometry]] =
+    gtype match {
+      case 1 => decodePoint(buf)
+      case 2 => decodeLineString(buf)
+      case 3 => decodePoly(buf)
+      case _ => Left("unreachable")
+    }
+
+  /** decode.go:100-136 decodePoint. */
+  private def decodePoint(buf: IndexedSeq[Long]): Either[String, Option[Geometry]] = {
+    val curs = new DecodeCursor
+    var ret: IndexedSeq[Pt] = Vector.empty
+    var i = 0
+    if (buf.nonEmpty) {
+      val cmd = buf(0); i = 1
+      val n = cmdCount(cmd)
+      if (buf.length - i < n * 2) return Left(s"not enough integers (${buf.length - i}) for command")
+      if (cmdId(cmd) != CmdMoveTo) return Left("invalid command for POINT")
+      ret = curs.decodeN(n, buf, i, encHere = false)
+      i += n * 2
+    }
+    if (i != buf.length) return Left("mvt: invalid extra data")
+    ret.length match {
+      case 0 => Right(None)
+      case 1 => Right(Some(GPoint(ret.head)))
+      case _ => Right(Some(GMultiPoint(ret)))
+    }
+  }
+
+  /** decode.go:140-198 decodeLineString. */
+  private def decodeLineString(buf: IndexedSeq[Long]): Either[String, Option[Geometry]] = {
+    val curs = new DecodeCursor
+    val ret = ArrayBuffer[IndexedSeq[Pt]]()
+    var lastCmd = 0L
+    var i = 0
+    while (i < buf.length) {
+      val cmd = buf(i); i += 1
+      val n = cmdCount(cmd)
+      if (buf.length - i < n * 2) return Left(s"not enough integers (${buf.length - i}) for command")
+      cmdId(cmd) match {
+        case CmdMoveTo =>
+          if (lastCmd != 0 && cmdId(lastCmd) != CmdLineTo)
+            return Left("MoveTo cannot follow this command for LINESTRING")
+          curs.decodePoint(buf(i), buf(i + 1))
+          i += 2
+        case CmdLineTo =>
+          if (cmdId(lastCmd) != CmdMoveTo)
+            return Left("LineTo cannot follow this command for LINESTRING")
+          if (n <= 0) return Left("LineTo must have count > 0 for LINESTRING")
+          ret += curs.decodeN(n, buf, i, encHere = true)
+          i += n * 2
+        case _ => return Left("invalid command for LINESTRING")
+      }
+      lastCmd = cmd
+    }
+    ret.length match {
+      case 0 => Left("unreachable")
+      case 1 => Right(Some(GLineString(ret.head)))
+      case _ => Right(Some(GMultiLineString(ret.toIndexedSeq)))
+    }
+  }
+
+  /** decode.go:200-268 decodePoly — ring → polygon grouping decided by the
+    * Y-DOWN winding of the decoded ring (clockwise starts a new polygon).
+    */
+  private def decodePoly(buf: IndexedSeq[Long]): Either[String, Option[Geometry]] = {
+    val curs = new DecodeCursor
+    val ret = ArrayBuffer[ArrayBuffer[IndexedSeq[Pt]]]()
+    var lastCmd = 0L
+    var i = 0
+    while (i < buf.length) {
+      val cmd = buf(i); i += 1
+      val n = cmdCount(cmd)
+      if (cmdId(cmd) != CmdClosePath && buf.length - i < n * 2)
+        return Left(s"not enough integers (${buf.length - i}) for command")
+      cmdId(cmd) match {
+        case CmdMoveTo =>
+          if (lastCmd != 0 && cmdId(lastCmd) != CmdClosePath)
+            return Left("MoveTo cannot follow this command for POLYGON")
+          curs.decodePoint(buf(i), buf(i + 1))
+          i += 2
+        case CmdLineTo =>
+          if (cmdId(lastCmd) != CmdMoveTo)
+            return Left("LineTo cannot follow this command for POLYGON")
+          if (n <= 1) return Left("LineTo must have count > 1 for POLYGON")
+          val ln = curs.decodeN(n, buf, i, encHere = true)
+          i += n * 2
+          if (Winding.orientation(yPositiveDown = true, ln) == Winding.Clockwise)
+            ret += ArrayBuffer.empty
+          else if (ret.isEmpty)
+            return Left("first ring of POLYGON must be an exterior ring")
+          ret.last += ln
+        case CmdClosePath =>
+          if (cmdId(lastCmd) != CmdLineTo)
+            return Left("ClosePath cannot follow this command for POLYGON")
+        case _ => return Left("invalid command for POLYGON")
+      }
+      lastCmd = cmd
+    }
+    ret.length match {
+      case 0 => Left("unreachable")
+      case 1 => Right(Some(GPolygon(ret.head.toIndexedSeq)))
+      case _ => Right(Some(GMultiPolygon(ret.map(_.toIndexedSeq).toIndexedSeq)))
+    }
+  }
 }

@@ -129,6 +129,134 @@ object MvtTile {
     w.result()
   }
 
+  // ---- decode (reference encoding/mvt/decode.go:29-84) ----
+
+  private final class Reader(bytes: Array[Byte], var i: Int, val end: Int) {
+    def hasNext: Boolean = i < end
+    def varint(): Long = {
+      var shift = 0; var v = 0L; var b = 0
+      do {
+        b = bytes(i) & 0xFF; i += 1
+        v |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def lengthDelim(): (Int, Int) = { // (start, end)
+      val len = varint().toInt
+      val s = i
+      i += len
+      (s, i)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 2 => lengthDelim()
+      case 5 => i += 4
+      case 1 => i += 8
+      case w => sys.error(s"unsupported wire type $w")
+    }
+  }
+
+  /** Full tile decode — inverse of encodeTile for the schema subset this
+    * engine writes (string Values; reference decode.go ignores tile-level
+    * tags too). Feature tags are resolved back into (key, value) pairs.
+    */
+  def decodeTile(bytes: Array[Byte]): IndexedSeq[Layer] = {
+    val layers = Vector.newBuilder[Layer]
+    val r = new Reader(bytes, 0, bytes.length)
+    while (r.hasNext) {
+      val t = r.varint()
+      if ((t >> 3).toInt == 3 && (t & 7) == 2) {
+        val (s, e) = r.lengthDelim()
+        layers += decodeLayer(bytes, s, e)
+      } else r.skip((t & 7).toInt)
+    }
+    layers.result()
+  }
+
+  private def decodeLayer(bytes: Array[Byte], start: Int, end: Int): Layer = {
+    var name = ""
+    var extent = 4096
+    var version = 2
+    val keys = ArrayBuffer[String]()
+    val values = ArrayBuffer[String]()
+    val rawFeatures = ArrayBuffer[(Long, Int, IndexedSeq[Long], IndexedSeq[Int])]()
+    val r = new Reader(bytes, start, end)
+    while (r.hasNext) {
+      val t = r.varint()
+      val field = (t >> 3).toInt
+      val wire = (t & 7).toInt
+      (field, wire) match {
+        case (1, 2)  => val (s, e) = r.lengthDelim(); name = new String(bytes, s, e - s, "UTF-8")
+        case (2, 2)  => val (s, e) = r.lengthDelim(); rawFeatures += decodeFeature(bytes, s, e)
+        case (3, 2)  => val (s, e) = r.lengthDelim(); keys += new String(bytes, s, e - s, "UTF-8")
+        case (4, 2)  => val (s, e) = r.lengthDelim(); values += decodeValue(bytes, s, e)
+        case (5, 0)  => extent = r.varint().toInt
+        case (15, 0) => version = r.varint().toInt
+        case _       => r.skip(wire)
+      }
+    }
+    val features = rawFeatures.map { case (id, gtype, geometry, tags) =>
+      val props = tags.grouped(2).collect {
+        case IndexedSeq(ki, vi) if ki < keys.length && vi < values.length =>
+          (keys(ki), values(vi))
+      }.toIndexedSeq
+      Feature(id, gtype, geometry, props)
+    }
+    Layer(name, features.toIndexedSeq, extent, version)
+  }
+
+  private def decodeFeature(bytes: Array[Byte], start: Int, end: Int)
+      : (Long, Int, IndexedSeq[Long], IndexedSeq[Int]) = {
+    var id = 0L
+    var gtype = 0
+    var geometry: IndexedSeq[Long] = Vector.empty
+    var tags: IndexedSeq[Int] = Vector.empty
+    val r = new Reader(bytes, start, end)
+    while (r.hasNext) {
+      val t = r.varint()
+      val field = (t >> 3).toInt
+      val wire = (t & 7).toInt
+      (field, wire) match {
+        case (1, 0) => id = r.varint()
+        case (2, 2) => // packed tags
+          val (s, e) = r.lengthDelim()
+          val pr = new Reader(bytes, s, e)
+          val b = Vector.newBuilder[Int]
+          while (pr.hasNext) b += pr.varint().toInt
+          tags = b.result()
+        case (3, 0) => gtype = r.varint().toInt
+        case (4, 2) => // packed geometry
+          val (s, e) = r.lengthDelim()
+          val pr = new Reader(bytes, s, e)
+          val b = Vector.newBuilder[Long]
+          while (pr.hasNext) b += pr.varint()
+          geometry = b.result()
+        case _ => r.skip(wire)
+      }
+    }
+    (id, gtype, geometry, tags)
+  }
+
+  /** Value message: this engine writes string values only (field 1);
+    * other Value variants are rendered via toString for robustness.
+    */
+  private def decodeValue(bytes: Array[Byte], start: Int, end: Int): String = {
+    val r = new Reader(bytes, start, end)
+    var out = ""
+    while (r.hasNext) {
+      val t = r.varint()
+      val field = (t >> 3).toInt
+      val wire = (t & 7).toInt
+      (field, wire) match {
+        case (1, 2) => val (s, e) = r.lengthDelim(); out = new String(bytes, s, e - s, "UTF-8")
+        case (4, 0) | (5, 0) | (6, 0) => out = r.varint().toString
+        case (7, 0) => out = (r.varint() != 0).toString
+        case _      => r.skip(wire)
+      }
+    }
+    out
+  }
+
   // ---- minimal decode (round-trip testing only) ----
 
   def decodeTileLayerNames(bytes: Array[Byte]): IndexedSeq[String] = {

@@ -87,6 +87,9 @@ object GeomFunctions {
 
   def st_utm_from_lnglat(lng: Column, lat: Column): Column =
     col(StUtmFromLngLat(ex(lng), ex(lat)))
+  def st_lnglat_from_utm(northing: Column, easting: Column,
+                         zoneNumber: Column, zoneLetter: Column): Column =
+    col(StLngLatFromUtm(ex(northing), ex(easting), ex(zoneNumber), ex(zoneLetter)))
 
   // text analysis
   /** bounded top-k aggregate: k smallest (dist2, nid), ascending. */
@@ -143,6 +146,7 @@ object GeomFunctions {
     "st_asgeojson" -> (a => StAsGeoJson(a(0))),
     "st_geomfromgeojson" -> (a => StGeomFromGeoJson(a(0))),
     "st_utm_from_lnglat" -> (a => StUtmFromLngLat(a(0), a(1))),
+    "st_lnglat_from_utm" -> (a => StLngLatFromUtm(a(0), a(1), a(2), a(3))),
     "doc_fingerprint" -> (a => StFingerprint(a(0))),
     "minhash" -> (a => StMinHash(a(0), a(1))),
     "simhash" -> (a => StSimHash(a(0))),

@@ -85,4 +85,96 @@ class MvtGeoJsonSpec extends AnyFunSuite {
     intercept[Exception](GeoJson.decode("""{"type":"Nope","coordinates":[]}"""))
     intercept[Exception](GeoJson.decode("""not json"""))
   }
+
+  // ---- MVT geometry decode (decode.go:86-304) ----
+
+  test("mvt decodeZigZag inverts zigzag (decode.go:302-304)") {
+    for (v <- Seq(0L, 1L, -1L, 2L, -2L, 4095L, -4096L, 2147483647L))
+      assert(Mvt.decodeZigZag(Mvt.zigzag(v)) == v.toInt, s"v=$v")
+  }
+
+  test("mvt decode point / multipoint (MVT spec examples)") {
+    // POINT(25,17) ← [9, 50, 34]
+    assert(Mvt.decodeGeometry(1, Vector(9L, 50L, 34L)) ==
+      Right(Some(GPoint((25.0, 17.0)))))
+    // MULTIPOINT(5 7, 3 2) ← [17, 10, 14, 3, 9]
+    assert(Mvt.decodeGeometry(1, Vector(17L, 10L, 14L, 3L, 9L)) ==
+      Right(Some(GMultiPoint(P((5, 7), (3, 2))))))
+    // empty stream → nil geometry, nil error
+    assert(Mvt.decodeGeometry(1, Vector.empty) == Right(None))
+    // trailing junk → ErrExtraData
+    assert(Mvt.decodeGeometry(1, Vector(9L, 50L, 34L, 7L)).isLeft)
+  }
+
+  test("mvt decode linestring / multilinestring (MVT spec examples)") {
+    // LINESTRING(2 2, 2 10, 10 10) ← [9,4,4,18,0,16,16,0]
+    assert(Mvt.decodeGeometry(2, Vector(9L, 4L, 4L, 18L, 0L, 16L, 16L, 0L)) ==
+      Right(Some(GLineString(P((2, 2), (2, 10), (10, 10))))))
+    // MULTILINESTRING((2 2, 2 10, 10 10),(1 1, 3 5)) — spec 4.3.5.2
+    val cmds = Vector(9L, 4L, 4L, 18L, 0L, 16L, 16L, 0L, 9L, 17L, 17L, 10L, 4L, 8L)
+    assert(Mvt.decodeGeometry(2, cmds) ==
+      Right(Some(GMultiLineString(Vector(P((2, 2), (2, 10), (10, 10)), P((1, 1), (3, 5)))))))
+    // LineTo before MoveTo is invalid
+    assert(Mvt.decodeGeometry(2, Vector(10L, 4L, 4L)).isLeft)
+  }
+
+  test("mvt decode polygon groups rings by y-down winding (decode.go:239-247)") {
+    // spec 4.3.5.3: POLYGON (3 6, 8 12, 20 34) encoded CW-in-screen-coords
+    assert(Mvt.decodeGeometry(3, Vector(9L, 6L, 12L, 18L, 10L, 12L, 24L, 44L, 15L)) ==
+      Right(Some(GPolygon(Vector(P((3, 6), (8, 12), (20, 34)))))))
+    // spec 4.3.5.4 multipolygon: two exteriors, second with a hole
+    val mp = Vector(
+      9L, 0L, 0L, 26L, 20L, 0L, 0L, 20L, 19L, 0L, 15L, // (0 0,10 0,10 10,0 10) CW
+      9L, 22L, 2L, 26L, 18L, 0L, 0L, 18L, 17L, 0L, 15L, // (11 11,20 11,20 20,11 20) CW
+      9L, 4L, 13L, 26L, 0L, 8L, 8L, 0L, 0L, 7L, 15L) // hole (13 13,13 17,17 17,17 13) CCW
+    val got = Mvt.decodeGeometry(3, mp)
+    assert(got == Right(Some(GMultiPolygon(Vector(
+      Vector(P((0, 0), (10, 0), (10, 10), (0, 10))),
+      Vector(P((11, 11), (20, 11), (20, 20), (11, 20)),
+             P((13, 13), (13, 17), (17, 17), (17, 13))))))), got)
+    // first ring must be exterior (CW in screen coords)
+    val holeFirst = Vector(9L, 4L, 13L, 26L, 0L, 8L, 8L, 0L, 0L, 7L, 15L)
+    assert(Mvt.decodeGeometry(3, holeFirst).isLeft)
+  }
+
+  test("mvt encode→decode round trip over prepared geometries") {
+    val tile = Extent(0, 0, 4096, 4096)
+    val geoms: Seq[Geometry] = Seq(
+      GPoint((101, 202)),
+      GMultiPoint(P((5, 7), (3, 2), (900, 900))),
+      GLineString(P((2, 2), (2, 10), (10, 10))),
+      GMultiLineString(Vector(P((2, 2), (2, 10), (10, 10)), P((1, 1), (3, 5)))),
+      GPolygon(Vector(P((3, 6), (8, 12), (20, 34)))),
+      GMultiPolygon(Vector(
+        Vector(P((0, 0), (10, 0), (10, 10), (0, 10))),
+        Vector(P((11, 1), (20, 1), (20, 10), (11, 10)),
+               P((13, 3), (13, 7), (17, 7), (17, 3))))))
+    geoms.foreach { g =>
+      // prepare rectifies winding/dedupes first — decode must invert encode
+      // exactly on the prepared form
+      val prepped = Mvt.prepareGeo(g, tile, 4096.0)
+      val (cmds, tpe) = Mvt.encodeGeometry(prepped)
+      val back = Mvt.decodeGeometry(tpe, cmds)
+      assert(back.isRight && back.toOption.get.isDefined, s"$g → $back")
+      // re-encoding the decoded geometry reproduces the identical stream
+      val (cmds2, tpe2) = Mvt.encodeGeometry(back.toOption.get.get)
+      assert(tpe2 == tpe && cmds2 == cmds, s"$g re-encode mismatch")
+    }
+  }
+
+  test("mvt full tile decode inverts encodeTile (layers, features, properties)") {
+    val f1 = MvtTile.Feature(7L, 1, Mvt.encodeGeometry(GPoint((25, 17)))._1,
+      Vector("name" -> "alpha", "kind" -> "poi"))
+    val f2 = MvtTile.Feature(8L, 2,
+      Mvt.encodeGeometry(GLineString(P((2, 2), (2, 10), (10, 10))))._1,
+      Vector("name" -> "beta", "kind" -> "poi")) // "kind"→"poi" dedups
+    val layerA = MvtTile.Layer("roads", Vector(f1, f2))
+    val layerB = MvtTile.Layer("pois", Vector(f1.copy(id = 9L)), extent = 512)
+    val bytes = MvtTile.encodeTile(Vector(layerA, layerB))
+    val back = MvtTile.decodeTile(bytes)
+    assert(back == Vector(layerA, layerB))
+    // and geometry decodes back from the decoded feature
+    val g = Mvt.decodeGeometry(back(0).features(0).geomType, back(0).features(0).geometry)
+    assert(g == Right(Some(GPoint((25.0, 17.0)))))
+  }
 }

@@ -173,4 +173,32 @@ class PlanarSpec extends AnyFunSuite {
     assert(Geom.roundToPrec(2.5, 0) == 3.0)
     assert(Geom.roundToPrec(-2.5, 0) == -3.0)
   }
+
+  test("circle discretizers (circle.go:128-165)") {
+    val c = (10.0, 20.0, 5.0)
+    // k=4: angles 0, π/2, π, 3π/2 — east, north, west, south
+    val pts = Subdivision.circleAsPoints(c, 4)
+    assert(pts.length == 4)
+    assert(math.abs(pts(0)._1 - 15.0) < 1e-12 && math.abs(pts(0)._2 - 20.0) < 1e-12)
+    assert(math.abs(pts(1)._1 - 10.0) < 1e-12 && math.abs(pts(1)._2 - 25.0) < 1e-12)
+    assert(math.abs(pts(2)._1 - 5.0) < 1e-12 && math.abs(pts(2)._2 - 20.0) < 1e-12)
+    assert(math.abs(pts(3)._1 - 10.0) < 1e-12 && math.abs(pts(3)._2 - 15.0) < 1e-12)
+    // every point sits on the circle
+    Subdivision.circleAsPoints(c, 17).foreach { p =>
+      val d = math.hypot(p._1 - c._1, p._2 - c._2)
+      assert(math.abs(d - c._3) < 1e-9)
+    }
+    // k < 3 defaults to 30 (circle.go:129-131)
+    assert(Subdivision.circleAsPoints(c, 2).length == 30)
+    assert(Subdivision.circleAsLineString(c, 0).length == 30)
+    // segments: first segment is the closing edge pts(k-1) -> pts(0)
+    val segs = Subdivision.circleAsSegments(c, 4)
+    assert(segs.length == 4)
+    assert(segs(0) == Geom.Seg(pts(3), pts(0)))
+    assert(segs(1) == Geom.Seg(pts(0), pts(1)))
+    // the k<3 wrap quirk uses the CALLER's k (reference circle.go:157-160)
+    val segs2 = Subdivision.circleAsSegments(c, 2)
+    val pts30 = Subdivision.circleAsPoints(c, 2)
+    assert(segs2(0) == Geom.Seg(pts30(1), pts30(0)))
+  }
 }
