@@ -120,6 +120,45 @@ object Planar {
     Some((xx, yy))
   }
 
+  /** reference planar/line_intersect.go:74-135 LineIntersectBigFloat —
+    * the same formula evaluated in 110-bit binary floating point, every
+    * intermediate rounded like Go's big.Float ops. The parallel test
+    * mirrors the reference exactly: the 110-bit denominator converted to
+    * float64 and compared to 0.
+    */
+  def lineIntersectBigFloat(l1: Seg, l2: Seg): Option[(BigFloat, BigFloat)] = {
+    val P = 110 // planar.PrecisionLevelBigFloat
+    def bf(d: Double) = BigFloat.ofDouble(d, P)
+    val x1 = bf(l1.x1); val y1 = bf(l1.y1); val x2 = bf(l1.x2); val y2 = bf(l1.y2)
+    val x3 = bf(l2.x1); val y3 = bf(l2.y1); val x4 = bf(l2.x2); val y4 = bf(l2.y2)
+    val deltaX12 = x1.sub(x2, P)
+    val deltaX34 = x3.sub(x4, P)
+    val deltaY12 = y1.sub(y2, P)
+    val deltaY34 = y3.sub(y4, P)
+    val denom = deltaX12.mul(deltaY34, P).sub(deltaY12.mul(deltaX34, P), P)
+    if (denom.toDouble == 0.0) return None
+    val cross1 = x1.mul(y2, P).sub(y1.mul(x2, P), P)
+    val cross2 = x3.mul(y4, P).sub(y3.mul(x4, P), P)
+    val xnom = cross1.mul(deltaX34, P).sub(deltaX12.mul(cross2, P), P)
+    val ynom = cross1.mul(deltaY34, P).sub(deltaY12.mul(cross2, P), P)
+    Some((xnom.quo(denom, P), ynom.quo(denom, P)))
+  }
+
+  /** reference line.go:52-81 ContainsPointBigFloat — segment bbox test at
+    * 20-bit precision (geom.PrecisionLevelBigFloat), endpoints included.
+    */
+  def containsPointBigFloat(l: Seg, pt: (BigFloat, BigFloat)): Boolean = {
+    val P = 20 // geom.PrecisionLevelBigFloat
+    var pminx = l.x1; var pmaxx = l.x2
+    if (pminx > pmaxx) { val t = pminx; pminx = pmaxx; pmaxx = t }
+    var pminy = l.y1; var pmaxy = l.y2
+    if (pminy > pmaxy) { val t = pminy; pminy = pmaxy; pmaxy = t }
+    val minx = BigFloat.ofDouble(pminx, P); val maxx = BigFloat.ofDouble(pmaxx, P)
+    val miny = BigFloat.ofDouble(pminy, P); val maxy = BigFloat.ofDouble(pmaxy, P)
+    val px = pt._1.setPrec(P); val py = pt._2.setPrec(P)
+    px.cmp(minx) >= 0 && px.cmp(maxx) <= 0 && py.cmp(miny) >= 0 && py.cmp(maxy) <= 0
+  }
+
   /** reference planar/line_intersect.go:141-178 SegmentIntersect:
     * returns the infinite-line intersection point plus whether it lies on
     * both segments (u, t ∈ [0, 1]).

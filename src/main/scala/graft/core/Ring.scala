@@ -77,10 +77,27 @@ object Ring {
   }
 }
 
+/** planar.HitMapper (reference planar/planar.go + hitmap/hitmap.go):
+  * Inside/Outside labeling with an extent + area used for ordering
+  * heterogeneous hitmap collections.
+  */
+sealed trait Hitmap {
+  def labelInside(pt: Pt): Boolean
+  def extent: Extent
+  def area: Double
+}
+
 /** Polygon hitmap: labels points Inside/Outside a (multi)polygon.
   * reference planar/makevalid/hitmap/polygon_hitmap.go:33-127.
   */
-final class PolygonHitmap private (rings: IndexedSeq[(Ring, Boolean)], clipBox: Extent) {
+final class PolygonHitmap private (rings: IndexedSeq[(Ring, Boolean)], clipBox: Extent)
+    extends Hitmap {
+
+  /** reference polygon_hitmap.go:130-133 — extent/area of the clip box
+    * (which carries the origin-unioned quirk).
+    */
+  def extent: Extent = clipBox
+  def area: Double = clipBox.area
 
   /** True = Inside. reference LabelFor (polygon_hitmap.go:90-127). */
   def labelInside(pt0: Pt): Boolean = {
@@ -126,4 +143,45 @@ object PolygonHitmap {
   }
 
   def ofPolygon(rings: IndexedSeq[IndexedSeq[Pt]]): PolygonHitmap = apply(Vector(rings))
+}
+
+/** reference hitmap/hitmap.go:22-29 Always — fixed label everywhere. */
+final case class AlwaysHitmap(inside: Boolean) extends Hitmap {
+  def labelInside(pt: Pt): Boolean = inside
+  def extent: Extent = Extent(Double.NegativeInfinity, Double.NegativeInfinity,
+    Double.PositiveInfinity, Double.PositiveInfinity)
+  def area: Double = Double.PositiveInfinity
+}
+
+/** reference hitmap/hitmap.go:42-77 OrderedHM — first Inside wins; extent
+  * accumulates across members; area is the area of the combined extent.
+  */
+final case class OrderedHitmap(hms: IndexedSeq[Hitmap]) extends Hitmap {
+  def labelInside(pt: Pt): Boolean = hms.exists(_.labelInside(pt))
+  def extent: Extent = {
+    // reference: accumulate into a zero-value extent (origin-unioned quirk)
+    var e = Extent(0, 0, 0, 0)
+    hms.foreach(h => e = e.add(h.extent))
+    e
+  }
+  def area: Double = extent.area
+}
+
+object Hitmap {
+
+  /** reference hitmap/hitmap.go:89-136 New — heterogeneous dispatch:
+    * (multi)polygons get a PolygonHitmap; collections recurse, skip the
+    * nil members, sort ascending by area (ByAreaDec's Less is `<` despite
+    * the name) then reverse into the OrderedHM so the LARGEST area is
+    * tried first; points/lines yield no hitmap.
+    */
+  def forGeometry(geo: Geometry): Option[Hitmap] = geo match {
+    case GPolygon(rings)   => Some(PolygonHitmap.ofPolygon(rings))
+    case GMultiPolygon(mp) => Some(PolygonHitmap(mp))
+    case GCollection(gs) =>
+      val hms = gs.flatMap(forGeometry)
+      Some(OrderedHitmap(hms.sortBy(_.area).reverse))
+    case GPoint(_) | GMultiPoint(_) | GLineString(_) | GMultiLineString(_) =>
+      None
+  }
 }

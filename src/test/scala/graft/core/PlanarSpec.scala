@@ -174,6 +174,67 @@ class PlanarSpec extends AnyFunSuite {
     assert(Geom.roundToPrec(-2.5, 0) == -3.0)
   }
 
+  test("BigFloat rounding + arithmetic (big.Float semantics)") {
+    // round-to-nearest-even at the precision boundary
+    assert(BigFloat.round(BigInt(15), 0, 3).toDouble == 16.0) // 1111 → 10000
+    assert(BigFloat.round(BigInt(13), 0, 3).toDouble == 12.0) // 1101 → 110_ down (rem<half? 13=1101, prec3 → shift1, q=110=6, rem=1=half → q even? 6 even → stays) = 12
+    assert(BigFloat.round(BigInt(11), 0, 3).toDouble == 12.0) // 1011 half → q=101 odd → 110 = 12
+    // doubles are exact at prec >= 53
+    for (d <- Seq(0.1, -3.75, 1e300, 5e-324, 123456789.123))
+      assert(BigFloat.ofDouble(d, 110).toDouble == d, s"$d")
+    // 20-bit rounding collapses nearby values
+    val a = BigFloat.ofDouble(1.0, 20)
+    val b = BigFloat.ofDouble(1.0 + math.pow(2, -21), 20)
+    assert(a.cmp(b) == 0)
+    // quo correctly rounded: 1/3 at 110 bits vs exact to 1 ulp
+    val third = BigFloat.ofDouble(1.0, 110).quo(BigFloat.ofDouble(3.0, 110), 110)
+    assert(math.abs(third.toDouble - 1.0 / 3.0) < 1e-16)
+    assert(third.mul(BigFloat.ofDouble(3.0, 110), 110).sub(BigFloat.ofDouble(1.0, 110), 110).toDouble.abs < 1e-32)
+  }
+
+  test("lineIntersectBigFloat (line_intersect.go:74-135, 110-bit)") {
+    // well-conditioned: agrees with the float64 path exactly
+    val l1 = Geom.Seg((0, 0), (10, 10))
+    val l2 = Geom.Seg((0, 10), (10, 0))
+    val bf = Planar.lineIntersectBigFloat(l1, l2).get
+    assert(bf._1.toDouble == 5.0 && bf._2.toDouble == 5.0)
+    assert(Planar.lineIntersect(l1, l2).contains((5.0, 5.0)))
+
+    // parallel → None (denominator 0 at float64, like the reference)
+    assert(Planar.lineIntersectBigFloat(Geom.Seg((0, 0), (1, 1)), Geom.Seg((0, 1), (1, 2))).isEmpty)
+
+    // ill-conditioned near-parallel lines: the 110-bit result must match
+    // an exact rational evaluation to ~2^-100 relative, where the float64
+    // path loses digits
+    val g1 = Geom.Seg((1e8, 1e8), (2e8 + 1e-4, 2e8))
+    val g2 = Geom.Seg((1e8, 1e8 + 1e-3), (2e8, 2e8))
+    val got = Planar.lineIntersectBigFloat(g1, g2).get
+    // exact rational: doubles are p/2^k, so compute with BigDecimal-exact
+    def bd(d: Double) = BigDecimal(new java.math.BigDecimal(d))
+    val (x1, y1, x2, y2) = (bd(g1.x1), bd(g1.y1), bd(g1.x2), bd(g1.y2))
+    val (x3, y3, x4, y4) = (bd(g2.x1), bd(g2.y1), bd(g2.x2), bd(g2.y2))
+    val denom = (x1 - x2) * (y3 - y4) - (y1 - y2) * (x3 - x4)
+    val c1 = x1 * y2 - y1 * x2
+    val c2 = x3 * y4 - y3 * x4
+    val mc = new java.math.MathContext(60)
+    val ex = ((c1 * (x3 - x4) - (x1 - x2) * c2) (mc) / denom(mc)).toDouble
+    val ey = ((c1 * (y3 - y4) - (y1 - y2) * c2) (mc) / denom(mc)).toDouble
+    assert(math.abs(got._1.toDouble - ex) / math.abs(ex) < 1e-12, s"x ${got._1.toDouble} vs $ex")
+    assert(math.abs(got._2.toDouble - ey) / math.abs(ey) < 1e-12, s"y ${got._2.toDouble} vs $ey")
+  }
+
+  test("containsPointBigFloat (line.go:52-81, 20-bit)") {
+    val l = Geom.Seg((1.0, 1.0), (2.0, 3.0))
+    def pt(x: Double, y: Double) = (BigFloat.ofDouble(x, 110), BigFloat.ofDouble(y, 110))
+    assert(Planar.containsPointBigFloat(l, pt(1.5, 2.0)))
+    assert(Planar.containsPointBigFloat(l, pt(1.0, 1.0))) // endpoint inclusive
+    assert(Planar.containsPointBigFloat(l, pt(2.0, 3.0)))
+    assert(!Planar.containsPointBigFloat(l, pt(0.5, 2.0)))
+    assert(!Planar.containsPointBigFloat(l, pt(1.5, 3.5)))
+    // 20-bit rounding: a point 2^-21 outside the box collapses onto it
+    assert(Planar.containsPointBigFloat(l, pt(1.0 - math.pow(2, -22), 2.0)))
+  }
+
   test("circle discretizers (circle.go:128-165)") {
     val c = (10.0, 20.0, 5.0)
     // k=4: angles 0, π/2, π, 3π/2 — east, north, west, south

@@ -85,4 +85,35 @@ class RingSpec extends AnyFunSuite {
     val x = 1.0 + math.pow(2, -21)
     assert(Ring.roundPrec20(x) == 1.0)
   }
+
+  test("collection hitmap dispatch (hitmap.go:89-136 New + OrderedHM)") {
+    def box(minx: Double, miny: Double, maxx: Double, maxy: Double) =
+      Vector(Vector[Pt]((minx, miny), (minx, maxy), (maxx, maxy), (maxx, miny)))
+    val small = GPolygon(box(0, 0, 2, 2))
+    val big = GPolygon(box(10, 10, 30, 30))
+    // points/lines yield no hitmap (nil in the reference) and are skipped
+    val coll = GCollection(Vector(
+      small, GPoint((5.0, 5.0)), GLineString(Vector[Pt]((0, 0), (9, 9))), big))
+    val hm = Hitmap.forGeometry(coll).get.asInstanceOf[OrderedHitmap]
+    assert(hm.hms.length == 2)
+    // largest area first (ascending sort reversed by NewOrderedHM)
+    assert(hm.hms.head.area >= hm.hms(1).area)
+    // first-inside-wins across members; outside all -> Outside
+    assert(hm.labelInside((1.0, 1.0)))
+    assert(hm.labelInside((20.0, 20.0)))
+    assert(!hm.labelInside((5.0, 5.0)))
+    // extent accumulates member extents into the zero-origin quirk box
+    assert(hm.extent == Geom.Extent(0, 0, 30, 30))
+    assert(hm.area == 900.0)
+    // Always labels everything; infinite area orders it first
+    assert(AlwaysHitmap(true).labelInside((1e12, -1e12)))
+    assert(AlwaysHitmap(true).area.isPosInfinity)
+    val withAlways = Hitmap.forGeometry(
+      GCollection(Vector(small))).get.asInstanceOf[OrderedHitmap]
+    assert(OrderedHitmap(AlwaysHitmap(false) +: withAlways.hms)
+      .labelInside((1.0, 1.0))) // Always(Outside) doesn't block later Inside
+    // single geometries dispatch directly
+    assert(Hitmap.forGeometry(small).get.isInstanceOf[PolygonHitmap])
+    assert(Hitmap.forGeometry(GPoint((0.0, 0.0))).isEmpty)
+  }
 }
