@@ -174,6 +174,55 @@ class PlanarSpec extends AnyFunSuite {
     assert(Geom.roundToPrec(-2.5, 0) == -3.0)
   }
 
+  test("Douglas-Peucker natural-earth golden (douglaspeucker_test.go:104-110)") {
+    // gtesting.NaturalEarthLineStrings[0] at tolerance 500 — expected WKT
+    // copied from the reference test (coordinates rounded to mm there, so
+    // compare with the default comparator)
+    def load(name: String): Geometry = {
+      val src = scala.io.Source.fromInputStream(getClass.getResourceAsStream(name))
+      try Wkt.decode(src.mkString.trim) finally src.close()
+    }
+    val GLineString(in) = load("/naturalearth/parks_line0.wkt"): @unchecked
+    val got = Simplify.douglasPeucker(in, 500.0)
+    val expected = Vector[Pt](
+      (-7785560.894, 5112305.653), (-7784854.276, 5122268.298),
+      (-7786050.091, 5139676.21), (-7790380.39, 5154033.469),
+      (-7793922.539, 5160820.971), (-7798053.535, 5166936.297),
+      (-7805482.082, 5172042.522), (-7813762.194, 5173879.48),
+      (-7817897.72, 5173061.654))
+    assert(got.length == expected.length, s"got ${got.length} points: $got")
+    got.zip(expected).foreach { case (g, e) =>
+      assert(Cmp.Default.pointEqual(g, e), s"$g != $e")
+    }
+  }
+
+  test("natural-earth SouthAfrica (hole) codec + hitmap stress (natural_earth_picked.go)") {
+    def load(name: String): Geometry = {
+      val src = scala.io.Source.fromInputStream(getClass.getResourceAsStream(name))
+      try Wkt.decode(src.mkString.trim) finally src.close()
+    }
+    val g = load("/naturalearth/south_africa.wkt")
+    val GPolygon(rings) = g: @unchecked
+    assert(rings.length == 2 && rings.head.length == 81 && rings(1).length == 11)
+    // WKT round trip is exact
+    assert(Wkt.decode(Wkt.encode(g)) == g)
+    // WKB round trip is byte-exact on re-encode
+    val wkb = Wkb.encode(g)
+    assert(Wkb.encode(Wkb.decode(wkb)) sameElements wkb)
+    // hitmap: a point inside the shell but in the Lesotho hole is Outside
+    val hm = Hitmap.forGeometry(g).get
+    val hole = rings(1)
+    val hx = hole.map(_._1).sum / hole.length
+    val hy = hole.map(_._2).sum / hole.length
+    assert(!hm.labelInside((hx, hy)), "hole centroid must be Outside")
+    // shell centroid-ish point away from the hole is Inside
+    assert(hm.labelInside((2200000.0, -3900000.0)))
+    // makevalid on the valid polygon returns a polygon with the hole intact
+    val repaired = MakeValid.makeValid(Vector(rings), None)
+    assert(repaired.isDefined && repaired.get.nonEmpty)
+    assert(repaired.get.head.length == 2, s"hole lost: ${repaired.get.head.length} rings")
+  }
+
   test("BigFloat rounding + arithmetic (big.Float semantics)") {
     // round-to-nearest-even at the precision boundary
     assert(BigFloat.round(BigInt(15), 0, 3).toDouble == 16.0) // 1111 → 10000
