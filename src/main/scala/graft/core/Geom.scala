@@ -104,6 +104,20 @@ object Geom {
   def isRing(pts: IndexedSeq[Pt]): Boolean =
     pts.length >= 4 && pts.head._1 == pts.last._1 && pts.head._2 == pts.last._2
 
+  /** reference utils.go:6-110 ApplyToPoints — map a coordinate transform
+    * over every point of a geometry (the reprojection hook). Structure is
+    * preserved; the Go version's error plumbing is unneeded (f is total).
+    */
+  def applyToPoints(g: Geometry)(f: Pt => Pt): Geometry = g match {
+    case GPoint(p)            => GPoint(f(p))
+    case GMultiPoint(ps)      => GMultiPoint(ps.map(f))
+    case GLineString(ps)      => GLineString(ps.map(f))
+    case GMultiLineString(ls) => GMultiLineString(ls.map(_.map(f)))
+    case GPolygon(rs)         => GPolygon(rs.map(_.map(f)))
+    case GMultiPolygon(mp)    => GMultiPolygon(mp.map(_.map(_.map(f))))
+    case GCollection(gs)      => GCollection(gs.map(applyToPoints(_)(f)))
+  }
+
   /** Round half away from zero (Go math.Round semantics; Java Math.round
     * rounds half-up and clamps to Long, so it can't be used here).
     */

@@ -220,4 +220,16 @@ object Planar {
   /** reference triangle.go:34-38 — centroid = mean of 3 vertices. */
   def triangleCenter(a: Pt, b: Pt, c: Pt): Pt =
     ((a._1 + b._1 + c._1) / 3, (a._2 + b._2 + c._2) / 3)
+
+  /** reference point.go:91-102 WithinCircle — the Guibas–Stolfi (1985,
+    * p.107) in-circumcircle determinant via oriented triangle areas;
+    * strictly inside (> 0). The reference's CDT uses the
+    * CircleFromPoints+ContainsPoint pair instead, leaving this API
+    * consumer-free there; ported for surface completeness.
+    */
+  def withinCircle(p: Pt, a: Pt, b: Pt, c: Pt): Boolean =
+    (a._1 * a._1 + a._2 * a._2) * triangleArea2(b, c, p) -
+      (b._1 * b._1 + b._2 * b._2) * triangleArea2(a, c, p) +
+      (c._1 * c._1 + c._2 * c._2) * triangleArea2(a, b, p) -
+      (p._1 * p._1 + p._2 * p._2) * triangleArea2(a, b, c) > 0
 }

@@ -284,6 +284,36 @@ class PlanarSpec extends AnyFunSuite {
     assert(Planar.containsPointBigFloat(l, pt(1.0 - math.pow(2, -22), 2.0)))
   }
 
+  test("withinCircle determinant (point.go:91-102, Guibas-Stolfi p.107)") {
+    // unit circle through (1,0),(0,1),(-1,0)
+    val (a, b, c) = ((1.0, 0.0), (0.0, 1.0), (-1.0, 0.0))
+    assert(Planar.withinCircle((0.0, 0.0), a, b, c))
+    assert(Planar.withinCircle((0.5, -0.5), a, b, c))
+    assert(!Planar.withinCircle((2.0, 0.0), a, b, c))
+    assert(!Planar.withinCircle((0.0, -1.0), a, b, c)) // ON circle: strict > 0
+    // agrees with circleFromPoints + strict distance on a generic circle
+    val (p1, p2, p3) = ((3.0, 4.0), (7.0, 1.0), (5.0, 9.0))
+    val crl = Subdivision.circleFromPoints(p1, p2, p3).get
+    for (q <- Seq((4.0, 4.0), (9.0, 9.0), (5.0, 5.0), (0.0, 0.0), (6.0, 2.0))) {
+      val d = math.hypot(crl._1 - q._1, crl._2 - q._2)
+      assert(Planar.withinCircle(q, p1, p2, p3) == d < crl._3, s"$q")
+    }
+  }
+
+  test("applyToPoints preserves structure (utils.go:6-110)") {
+    val g = GCollection(Vector(
+      GPoint((1.0, 2.0)),
+      GPolygon(Vector(Vector[Pt]((0, 0), (0, 1), (1, 1), (1, 0)))),
+      GMultiLineString(Vector(Vector[Pt]((0, 0), (2, 2)), Vector[Pt]((3, 3), (4, 4))))))
+    val shifted = Geom.applyToPoints(g)(p => (p._1 + 10, p._2 * 2))
+    val GCollection(gs) = shifted: @unchecked
+    assert(gs(0) == GPoint((11.0, 4.0)))
+    val GPolygon(rs) = gs(1): @unchecked
+    assert(rs.head == Vector[Pt]((10, 0), (10, 2), (11, 2), (11, 0)))
+    val GMultiLineString(ls) = gs(2): @unchecked
+    assert(ls(1) == Vector[Pt]((13, 6), (14, 8)))
+  }
+
   test("circle discretizers (circle.go:128-165)") {
     val c = (10.0, 20.0, 5.0)
     // k=4: angles 0, π/2, π, 3π/2 — east, north, west, south
