@@ -76,11 +76,15 @@ object Scaling {
     prepareScaled(base, heavyDir, 8)
     prepareScaled(base, wideDir, 48)
 
-    // interleaved rounds, per-query minimum
+    // interleaved rounds, per-query minimum; `once` = single round (for
+    // retry loops gated on a host-contention probe — the sandbox host
+    // intermittently caps deliverable cores below 32, which bounds any
+    // measurable 8→32 efficiency regardless of plan quality)
+    val once = args.contains("once")
     val r1a = runAt(8, heavyDir, wideDir)
     val r1b = runAt(32, heavyDir, wideDir)
-    val r2a = runAt(8, heavyDir, wideDir)
-    val r2b = runAt(32, heavyDir, wideDir)
+    val r2a = if (once) r1a else runAt(8, heavyDir, wideDir)
+    val r2b = if (once) r1b else runAt(32, heavyDir, wideDir)
     val per8 = r1a.map { case (k, v) => k -> math.min(v, r2a(k)) }
     val per32 = r1b.map { case (k, v) => k -> math.min(v, r2b(k)) }
     val t8 = per8.values.sum
