@@ -201,6 +201,46 @@ class ConstrainedSpec extends AnyFunSuite {
     assert(failed == 0, s"constraint insertions failed: $failed")
   }
 
+  private def loadWkt(resource: String): Geometry = {
+    val src = scala.io.Source.fromInputStream(getClass.getResourceAsStream(resource))
+    val text = try src.mkString finally src.close()
+    Wkt.decode(text)
+  }
+
+  /** constrained_test.go:176-198 "issue#70": the 4-ring web-mercator polygon
+    * run through the GeomConstrained flow (constraints = every ring segment,
+    * must.ParseLines semantics) with constraints ENABLED must triangulate to
+    * exactly 73 triangles. Note the reference's own TestGeomConstrained is
+    * skipped in its CI unless TEGOLA_MAKEVALID=CONSTRAINED is set, so this
+    * expectation is only exercised in the experimental mode — same here.
+    */
+  test("GeomConstrained issue#70 (constrained_test.go) — 73 triangles") {
+    val segs = Geom.segments(loadWkt("/constrained/issue70_polygon.wkt"))
+    assert(!MakeValid.enableConstraints)
+    MakeValid.enableConstraints = true
+    try {
+      val tris = MakeValid.delaunayTriangles(segs)
+      info(s"issue#70 constrained triangles: ${tris.length}")
+      assert(tris.length == 73, s"expected 73 triangles, got ${tris.length}")
+    } finally MakeValid.enableConstraints = false
+  }
+
+  /** constrained_test.go:199-210 "issue#70_full": the full multilinestring
+    * corpus must run through the flow without invalidating the subdivision.
+    * (The reference's expectation list for this case is empty and the test is
+    * CI-skipped, so the only portable assertion is that the flow completes
+    * and yields a traversable triangulation.)
+    */
+  test("GeomConstrained issue#70_full — flow completes") {
+    val segs = Geom.segments(loadWkt("/constrained/issue70_full.lines"))
+    MakeValid.enableConstraints = true
+    try {
+      val tris = MakeValid.delaunayTriangles(segs)
+      info(s"issue#70_full constrained triangles: ${tris.length}")
+      assert(tris.nonEmpty)
+    } finally MakeValid.enableConstraints = false
+  }
+
   test("makevalid flag-off output is unchanged; flag-on repairs the bow-tie identically") {
     val bow = GPolygon(Vector(Vector[Pt]((0, 0), (2, 2), (2, 0), (0, 2))))
     val off = MakeValid.geometry(bow, None).map(Wkt.encode)
