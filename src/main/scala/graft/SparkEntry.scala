@@ -435,6 +435,38 @@ object SparkEntry {
             (col("pid") % 13).cast("double") * 7.3)
         .withColumn("ll", st_lnglat_from_utm(col("northing"), col("easting"), col("zn"), col("zl")))
         .select(col("pid"), round(col("ll.lng"), 9).as("lng"), round(col("ll.lat"), 9).as("lat"))
+    }),
+
+    "q39_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup: the base embeddings carry no near-pairs
+      // (max background cosine ≈ 0.51), so the query deterministically
+      // plants one perturbed copy per vid%10==0 vector (component i scaled
+      // by 1 + ((vid+i)%7−3)·1e-4, identically derivable in SQL), then runs
+      // the LSH-bucketed near-dup operator at τ=0.99: candidates only
+      // within a sign-projection bucket — never all-pairs.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+      val planted = emb.filter(col("vid") % 10 === 0)
+        .select(col("vid").as("ovid"), col("vec"))  // unambiguous: lateral
+        // alias resolution would otherwise bind vid inside the transform
+        // to the NEW (+1000000) vid and shift the %7 pattern
+        .select((col("ovid") + 1000000L).as("vid"),
+          transform(col("vec"), (x, i) =>
+            x * (lit(1.0) + ((col("ovid") + i.cast("long")) % 7 - 3).cast("double") * lit(1e-4)))
+            .as("vec"))
+      graft.operators.Dedup.embedNearDupPairs(emb.unionByName(planted),
+        dim = 64, bits = 8, tau = 0.99)
+    }),
+
+    "q40_ann_ivf" -> ((s, dir) => {
+      // IVF coarse-quantizer ANN: 16 deterministic unit-norm centroids,
+      // map-side inverted-list assignment, queries probe their top-3 lists.
+      // Scanned work per query = 3/16 of the corpus vs the brute path's 1.
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+      val qs = emb.filter(col("vid") % 40 === 0)
+        .select(col("vid").as("qid"), col("vec").as("qvec"))
+      graft.operators.Ann.ivfTopK(qs, emb, k = 5, dim = 64, nCentroids = 16, nProbe = 3)
     })
   )
 
@@ -831,6 +863,43 @@ object SparkEntry {
       "l AS (SELECT *, dd * dd AS d2, (dd * dd) * dd AS d3, ((dd * dd) * dd) * dd AS d4, (((dd * dd) * dd) * dd) * dd AS d5, ((((dd * dd) * dd) * dd) * dd) * dd AS d6 FROM k), " +
       "m AS (SELECT *, phi1 - (((n1 * pt1) / r1) * (((d2 / 2.0) - ((((((5.0 + (3.0 * t1)) + (10.0 * c1)) - (4.0 * c12)) - (9.0 * ep)) * d4) / 24.0)) + ((((((((61.0 + (90.0 * t1)) + (298.0 * c1)) + (45.0 * t12)) - (252.0 * ep)) - c12_3)) * d6) * 720.0))) AS latrad, " +
       "((dd - ((((1.0 + (2.0 * t1)) + c1) * d3) / 6.0)) + ((((((((5.0 - (2.0 * c1)) + (28.0 * t1)) - c12_3) + (8.0 * ep)) + (24.0 * t12))) * d5) / 120.0)) / pc1 AS lngrad FROM l) " +
-      "SELECT pid, round(lngorigin + ((lngrad * 180.0) / pi()), 9) AS lng, round((latrad * 180.0) / pi(), 9) AS lat FROM m")
+      "SELECT pid, round(lngorigin + ((lngrad * 180.0) / pi()), 9) AS lng, round((latrad * 180.0) / pi(), 9) AS lat FROM m"),
+
+    "q39_embed_neardup" -> {
+      val dotQ = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        "i -> a.v[CAST(i AS INTEGER)] * b2.v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+      def nrm(t: String) = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), " +
+        s"i -> $t.v[CAST(i AS INTEGER)] * $t.v[CAST(i AS INTEGER)])), (acc, x) -> acc + x)"
+      ("WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "p0 AS (SELECT vid AS ovid, v FROM e WHERE vid % 10 = 0), " +
+      "p AS (SELECT ovid + 1000000 AS vid, list_transform(range(1, 65), " +
+      "i -> v[CAST(i AS INTEGER)] * (CAST(1.0 AS DOUBLE) + CAST(((ovid + (i - 1)) % 7) - 3 AS DOUBLE) * CAST(0.0001 AS DOUBLE))) AS v FROM p0), " +
+      "c AS (SELECT * FROM e UNION ALL SELECT * FROM p), " +
+      s"b AS (SELECT vid, v, ${graft.operators.Ann.bucketSql("v", 64, 8)} AS bucket FROM c), " +
+      "pr AS (SELECT a.vid AS vid_a, b2.vid AS vid_b, " +
+      s"$dotQ / (sqrt(${nrm("a")}) * sqrt(${nrm("b2")})) AS cos " +
+      "FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vid < b2.vid) " +
+      "SELECT vid_a, vid_b, cos FROM pr WHERE cos >= 0.99")
+    },
+
+    "q40_ann_ivf" -> {
+      import graft.operators.Ann
+      val ss = Ann.centroidScoresSql("v", 64, 16)
+      val qss = Ann.centroidScoresSql("qv", 64, 16)
+      ("WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"ca AS (SELECT vid, v, list_position($ss, list_max($ss)) - 1 AS cid FROM e), " +
+      s"q AS (SELECT vid AS qid, v AS qv, $qss AS qss FROM e WHERE vid % 40 = 0), " +
+      "qx AS (SELECT qid, qv, u.cid AS cid, u.score AS score FROM (SELECT qid, qv, " +
+      "unnest(list_transform(range(1, 17), i -> {'cid': i - 1, 'score': qss[CAST(i AS INTEGER)]})) AS u FROM q)), " +
+      "qp AS (SELECT qid, qv, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS crk FROM qx) WHERE crk <= 3), " +
+      "pr AS (SELECT qid, vid, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS dt, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS nq, " +
+      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS nv " +
+      "FROM qp JOIN ca USING (cid) WHERE qid <> vid) " +
+      "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
+      "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
+      "FROM pr QUALIFY rk <= 5")
+    }
   )
 }

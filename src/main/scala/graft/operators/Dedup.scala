@@ -79,6 +79,24 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** embedding-cosine near-dup pairs: corpus hashed once into sign-random-
+    * projection LSH buckets (one shuffle on the bucket id), candidate pairs
+    * drawn only INSIDE a bucket (never all-pairs), then verified by exact
+    * cosine ≥ tau. Near-identical vectors agree on almost every sign
+    * projection, so recall at tau≈0.99 is ~1; candidate volume is quadratic
+    * only within a bucket — the same 100 TB shape as the MinHash bands.
+    * corpus(vid, vec array<double>).
+    */
+  def embedNearDupPairs(corpus: DataFrame, dim: Int, bits: Int = 8,
+                        tau: Double = 0.99): DataFrame = {
+    val b = corpus.withColumn("bucket", Ann.lshBucket(col("vec"), dim, bits))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"),
+        Ann.cosine(col("a.vec"), col("b.vec")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** word n-gram Jaccard similarity between explicit pairs — the exact
     * verifier behind the MinHash estimate.
     */

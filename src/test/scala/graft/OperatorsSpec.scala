@@ -57,6 +57,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.nonEmpty)
   }
 
+  test("IVF ANN: exact recall on clustered vectors; partial on random ones") {
+    import spark.implicits._
+    // clustered corpus: members of cluster c = centroid c + small
+    // deterministic per-member offsets → every true neighbor shares the
+    // member's own inverted list, so probing top-1..3 lists recovers the
+    // exact top-k
+    val dim = 64
+    val rows = for (c <- 0 until 8; m <- 0 until 12) yield {
+      val cen = Ann.ivfCentroid(c, dim)
+      val v = cen.zipWithIndex.map { case (x, i) =>
+        x + ((c * 31 + m * 7 + i) % 11 - 5) * 1e-3
+      }
+      (c * 100L + m, v)
+    }
+    val corpus = rows.toDF("vid", "vec")
+    val qs = corpus.filter(col("vid") % 100 === 0)
+      .select(col("vid").as("qid"), col("vec").as("qvec"))
+    val exact = Ann.cosineTopK(qs, corpus, k = 5)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(qs, corpus, k = 5, dim = dim, nCentroids = 16, nProbe = 3)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == exact, s"IVF missed in-cluster neighbors: ${(exact -- ivf).take(5)}")
+    // and the random-vector corpus: approximate by design, sanity floor
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+    val rq = emb.filter(col("vid") % 25 === 0)
+      .select(col("vid").as("qid"), col("vec").as("qvec"))
+    val rexact = Ann.cosineTopK(rq, emb, k = 10)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rivf = Ann.ivfTopK(rq, emb, k = 10, dim = dim, nCentroids = 16, nProbe = 3)
+      .select(col("qid"), col("vid")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (rexact & rivf).size.toDouble / rexact.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
+  test("embedding-cosine near-dup finds planted perturbed copies only") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+    val planted = emb.filter(col("vid") % 10 === 0)
+      .select(col("vid").as("ovid"), col("vec"))
+      .select((col("ovid") + 1000000L).as("vid"),
+        transform(col("vec"), (x, i) =>
+          x * (lit(1.0) + ((col("ovid") + i.cast("long")) % 7 - 3).cast("double") * lit(1e-4)))
+          .as("vec"))
+    val nPlanted = planted.count()
+    val pairs = Dedup.embedNearDupPairs(emb.unionByName(planted), dim = 64, bits = 8, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every pair is an original with its own planted copy, none spurious
+    assert(pairs.forall { case (a, b) => b == a + 1000000L },
+      s"spurious pair: ${pairs.find { case (a, b) => b != a + 1000000L }}")
+    // near-identical vectors agree on (almost) every sign projection;
+    // allow at most one bucket-split loss
+    assert(pairs.length >= nPlanted - 1, s"found ${pairs.length} of $nPlanted planted pairs")
+  }
+
   test("minhash LSH finds constructed near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
