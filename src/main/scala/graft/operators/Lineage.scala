@@ -54,6 +54,37 @@ object Lineage {
 
   def metrics(spark: SparkSession, root: String, stage: String): DataFrame =
     spark.read.parquet(s"$root/$stage/metrics")
+
+  /** Catalog-table flavor of `runStage` (the Iceberg deployment shape):
+    * stage output and lineage metrics are NAMED TABLES written through
+    * the V2 writer — on an Iceberg catalog each write is a snapshot
+    * commit. Commit order is data → metrics, so the metrics table's
+    * existence is the stage's done marker; a crash in between leaves the
+    * stage "not done" and it recomputes idempotently (REPLACE semantics).
+    * `prefix` may be catalog/db-qualified (`cat.db.pipeline1`).
+    */
+  def runStageTable(spark: SparkSession, prefix: String, stage: String,
+                    keyCol: String)(compute: => DataFrame): DataFrame = {
+    import graft.sources.CatalogIO
+    val dataT = s"${prefix}_$stage"
+    val metaT = s"${prefix}_${stage}_metrics"
+    if (CatalogIO.tableExists(spark, dataT) && CatalogIO.tableExists(spark, metaT))
+      return spark.read.table(dataT)
+
+    CatalogIO.replaceTable(compute, dataT)
+    val written = spark.read.table(dataT)
+    val metrics = written
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("row_count"),
+        min(col(keyCol)).cast("string").as("min_key"),
+        max(col(keyCol)).cast("string").as("max_key"))
+      .withColumn("stage", lit(stage))
+    CatalogIO.replaceTable(metrics, metaT)
+    spark.read.table(dataT)
+  }
+
+  def metricsTable(spark: SparkSession, prefix: String, stage: String): DataFrame =
+    spark.read.table(s"${prefix}_${stage}_metrics")
 }
 
 /** Hot-key (dense-cell) skew handling: salting and adaptive cell split. */

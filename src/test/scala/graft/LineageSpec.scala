@@ -36,6 +36,43 @@ class LineageSpec extends AnyFunSuite {
     assert(computed == 2)
   }
 
+  test("catalog-table lineage: V2 named-table checkpoint resumes; docs scan/sink roundtrip") {
+    // The Iceberg contract, proven on the only catalog whose jars exist in
+    // this sandbox (the V2 session catalog): same read/write calls, an
+    // Iceberg catalog is pure spark.sql.catalog.* config.
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_ct LOCATION '$wh'")
+    try {
+      var computed = 0
+      def stage() = Lineage.runStageTable(spark, "graft_ct.pipe", "docs", "doc_id") {
+        computed += 1
+        graft.sources.DocsTable.docs(spark, dir)
+      }
+      val first = stage().count()
+      val second = stage().count() // resume from the committed tables
+      assert(computed == 1)
+      assert(first == second && first == 6000)
+      val m = Lineage.metricsTable(spark, "graft_ct.pipe", "docs")
+      assert(m.agg(sum(col("row_count"))).head.getLong(0) == 6000)
+
+      // scan/sink contract on the exact input_hint shape: the interleaved
+      // (doc_id, spans array<struct<kind,text,media_ref,offset>>) table
+      // written to and read back from a named table preserves the
+      // span-sequence invariant (kind, text, media_ref, order) per row
+      val back = graft.sources.CatalogIO.read(spark, "table:graft_ct.pipe_docs")
+      // (nullability legitimately loosens through the parquet roundtrip)
+      assert(back.schema("spans").dataType.catalogString ==
+        graft.sources.DocsTable.docs(spark, dir).schema("spans").dataType.catalogString)
+      val orig = graft.sources.DocsTable.docs(spark, dir)
+        .select(col("doc_id"), to_json(col("spans")).as("sj"))
+      val rt = back.select(col("doc_id"), to_json(col("spans")).as("sj"))
+      assert(rt.count() == 6000)
+      assert(orig.exceptAll(rt).count() == 0 && rt.exceptAll(orig).count() == 0)
+    } finally {
+      spark.sql("DROP DATABASE IF EXISTS graft_ct CASCADE")
+    }
+  }
+
   test("salted repartition preserves results") {
     val pts = graft.sources.Synth.points(spark, dir).select(col("pid"), col("l_suppkey"))
     val plain = pts.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
