@@ -467,6 +467,29 @@ object SparkEntry {
       val qs = emb.filter(col("vid") % 40 === 0)
         .select(col("vid").as("qid"), col("vec").as("qvec"))
       graft.operators.Ann.ivfTopK(qs, emb, k = 5, dim = 64, nCentroids = 16, nProbe = 3)
+    }),
+
+    "q41_rasterize" -> ((s, dir) => {
+      // raster side of the raster↔vector tiler: point occupancy on each
+      // z9 tile's 256×256 pixel grid (a z9 pixel IS a z17 tile — the same
+      // map-only vectorized cell encode, one shuffle for the occupancy agg)
+      val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
+      graft.operators.Tiler.rasterizePoints(pts, z = 9, res = 256)
+        .select(st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"),
+          col("py").cast("long").as("py"), col("px").cast("long").as("px"), col("n"))
+    }),
+
+    "q42_raster_runs" -> ((s, dir) => {
+      // vectorize step 1: gaps-and-islands merge of adjacent occupied
+      // pixels into horizontal runs — one window + one groupBy on (cell,py).
+      // z5/64px (z11 pixels) keeps the grid dense enough that runs really
+      // merge at sf0.01 (q41's z9/256px grid is occupancy-sparse)
+      val pts = Synth.points(s, dir).select(col("pid"), col("lon"), col("lat"))
+      val ras = graft.operators.Tiler.rasterizePoints(pts, z = 5, res = 64)
+      graft.operators.Tiler.rasterRuns(ras)
+        .select(st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"),
+          col("py").cast("long").as("py"), col("px0").cast("long").as("px0"),
+          col("px1").cast("long").as("px1"), col("n_pts"))
     })
   )
 
@@ -900,6 +923,18 @@ object SparkEntry {
       "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
       "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
       "FROM pr QUALIFY rk <= 5")
-    }
+    },
+
+    "q41_rasterize" ->
+      (s"WITH $P, t AS (SELECT ${Synth.lon2TileSql("lon", 9)} AS x, ${Synth.lat2TileSql("lat", 9)} AS y, " +
+      s"${Synth.lon2TileSql("lon", 17)} AS fx, ${Synth.lat2TileSql("lat", 17)} AS fy FROM pts) " +
+      "SELECT x, y, fy - y * 256 AS py, fx - x * 256 AS px, count(*) AS n FROM t GROUP BY 1, 2, 3, 4"),
+
+    "q42_raster_runs" ->
+      (s"WITH $P, t AS (SELECT ${Synth.lon2TileSql("lon", 5)} AS x, ${Synth.lat2TileSql("lat", 5)} AS y, " +
+      s"${Synth.lon2TileSql("lon", 11)} AS fx, ${Synth.lat2TileSql("lat", 11)} AS fy FROM pts), " +
+      "r AS (SELECT x, y, fy - y * 64 AS py, fx - x * 64 AS px, count(*) AS n FROM t GROUP BY 1, 2, 3, 4), " +
+      "i AS (SELECT x, y, py, px, n, px - row_number() OVER (PARTITION BY x, y, py ORDER BY px ASC) AS isl FROM r) " +
+      "SELECT x, y, py, min(px) AS px0, max(px) AS px1, CAST(sum(n) AS BIGINT) AS n_pts FROM i GROUP BY x, y, py, isl")
   )
 }

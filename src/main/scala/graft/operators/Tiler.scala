@@ -81,6 +81,80 @@ object Tiler {
       .toDF("z", "x", "y", "mvt")
   }
 
+  /** Rasterize: points → per-tile pixel occupancy at `res`×`res` pixels per
+    * z-tile. Pixel math is the slippy projection carried 8 more zoom levels
+    * (res=256 ⇒ a z pixel IS a z+8 tile), so the whole stage is the same
+    * map-only vectorized cell encode as tile assignment — no shuffle until
+    * the occupancy groupBy on (cell, py, px).
+    */
+  def rasterizePoints(pts: DataFrame, z: Int, res: Int = 256): DataFrame = {
+    require(res > 0 && (res & (res - 1)) == 0, "res must be a power of two")
+    val extraZ = (math.log(res.toDouble) / math.log(2.0)).round.toInt
+    val fine = st_cell_at(col("lon"), col("lat"), lit(z + extraZ))
+    pts
+      .withColumn("cell", st_cell_at(col("lon"), col("lat"), lit(z)))
+      .withColumn("px", (st_cell_x(fine) - st_cell_x(col("cell")) * res).cast("int"))
+      .withColumn("py", (st_cell_y(fine) - st_cell_y(col("cell")) * res).cast("int"))
+      .groupBy(col("cell"), col("py"), col("px"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Vectorize step 1 — horizontal runs: merge adjacent occupied pixels of
+    * one tile row into [px0, px1] spans (gaps-and-islands: px − row_number
+    * is constant within a run). One window + one groupBy, both on the
+    * (cell, py) key — integer arithmetic, exactly mirrorable in SQL.
+    */
+  def rasterRuns(raster: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell"), col("py")).orderBy(col("px").asc)
+    raster
+      .withColumn("isl", col("px") - row_number().over(w))
+      .groupBy(col("cell"), col("py"), col("isl"))
+      .agg(min(col("px")).as("px0"), max(col("px")).as("px1"),
+        sum(col("n")).as("n_pts"))
+      .drop("isl")
+  }
+
+  /** Vectorize step 2 — greedy vertical merge of identical [px0, px1] runs
+    * on consecutive rows into rectangles, then rectangles → pixel-space
+    * polygons (x0, y0, x1, y1 in the tile's res-pixel grid). Per-tile
+    * sequential kernel over sorted runs (embarrassingly parallel across
+    * tiles, like the makevalid kernel).
+    */
+  def vectorizeRaster(spark: org.apache.spark.sql.SparkSession,
+                      runs: DataFrame): DataFrame = {
+    import spark.implicits._
+    runs.select(col("cell"), col("py"),
+        col("px0").cast("long"), col("px1").cast("long"))
+      .as[(Long, Int, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (cell, it) =>
+        val rs = it.map { case (_, py, p0, p1) => (py, p0, p1) }.toArray
+          .sortBy { case (py, p0, _) => (py, p0) }
+        // open rectangles keyed by (px0, px1): extend when the next row
+        // repeats the exact span, else close
+        val open = scala.collection.mutable.LinkedHashMap[(Long, Long), (Int, Int)]()
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Long, Int)]()
+        var row = Int.MinValue
+        def closeStale(currentRow: Int): Unit = {
+          val stale = open.filter { case (_, (_, last)) => last < currentRow - 1 }
+          stale.foreach { case (k @ (p0, p1), (y0, y1)) =>
+            out += ((cell, p0, y0, p1, y1)); open.remove(k)
+          }
+        }
+        for ((py, p0, p1) <- rs) {
+          if (py != row) { closeStale(py); row = py }
+          open.get((p0, p1)) match {
+            case Some((y0, _)) => open((p0, p1)) = (y0, py)
+            case None          => open((p0, p1)) = (py, py)
+          }
+        }
+        open.foreach { case ((p0, p1), (y0, y1)) => out += ((cell, p0, y0, p1, y1)) }
+        out.iterator
+      }
+      .toDF("cell", "x0", "y0", "x1", "y1")
+  }
+
   /** Raster↔vector join: vector points keyed by their z15 cell meet media
     * spans keyed by the tile encoded in their media_ref
     * ("media://tile/{z}/{x}/{y}#{n}").

@@ -113,6 +113,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.length >= nPlanted - 1, s"found ${pairs.length} of $nPlanted planted pairs")
   }
 
+  test("raster vectorize: rectangles cover exactly the occupied pixel set") {
+    import spark.implicits._
+    val pts = graft.sources.Synth.points(spark, dir).select(col("pid"), col("lon"), col("lat"))
+    val ras = Tiler.rasterizePoints(pts, z = 6, res = 64)
+    val runs = Tiler.rasterRuns(ras)
+    // runs partition the occupied pixels of each row exactly
+    val pixelCount = ras.count()
+    val runPixelSum = runs.agg(sum(col("px1") - col("px0") + 1)).head.getLong(0)
+    assert(runPixelSum == pixelCount, s"runs cover $runPixelSum of $pixelCount pixels")
+    // rectangles cover exactly the same set: expand both to pixel rows and diff
+    val rects = Tiler.vectorizeRaster(spark, runs)
+    val rectPixels = rects
+      .select(col("cell"), explode(sequence(col("y0"), col("y1"))).as("py"),
+        col("x0"), col("x1"))
+      .select(col("cell"), col("py"), explode(sequence(col("x0"), col("x1"))).as("px"))
+    val occupied = ras.select(col("cell"), col("py").cast("int"), col("px").cast("long").as("px"))
+    assert(rectPixels.count() == pixelCount) // no overlap, no spill
+    assert(rectPixels.exceptAll(occupied.select(col("cell"), col("py"), col("px"))).count() == 0)
+    // and the vertical merge actually merges: a solid 3x3 block collapses to 1 rect
+    val block = (for (py <- 0 until 3; px <- 0 until 3) yield (42L, py, px.toLong, 1L))
+      .toDF("cell", "py", "px", "n")
+    val blockRects = Tiler.vectorizeRaster(spark, Tiler.rasterRuns(block))
+    assert(blockRects.count() == 1)
+    val r = blockRects.head
+    assert((r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4)) == ((0L, 0, 2L, 2)))
+  }
+
   test("minhash LSH finds constructed near-duplicates") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog again and again today"
