@@ -18,6 +18,18 @@ object SparkEntry {
   private def li(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
   private def docsT(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
 
+  /** Kernel-heavy map stages after a cheap scan: when the scan yields fewer
+    * splits than cores (the local test files are single-row-group parquet,
+    * so the scan can never split and per-row kernels run on ONE task),
+    * redistribute once before the kernels. On a real cluster the scan
+    * carries ≫ cores splits and this is a no-op — the condition, not the
+    * repartition, is what survives the 100× scale-up.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Flagship: interleaved docs table → span extraction → WKT parse →
     * z15 cell encode → broadcast PIP join against regions → per-region
     * rollup. Runs on sf0.001 (driver smoke-checks rows > 0).
@@ -105,7 +117,7 @@ object SparkEntry {
     }),
 
     "q07_perp_distance" -> ((s, dir) => {
-      Synth.points(s, dir).select(col("pid"),
+      spread(Synth.points(s, dir)).select(col("pid"),
         st_perpendicular_distance(col("lon"), col("lat"), col("lon2"), col("lat2"),
           col("lon2"), col("lat")).as("d"))
     }),
@@ -119,7 +131,7 @@ object SparkEntry {
     }),
 
     "q09_simplify" -> ((s, dir) => {
-      Synth.points(s, dir)
+      spread(Synth.points(s, dir))
         .withColumn("ls", st_geomfromwkt(concat(
           lit("LINESTRING ("),
           col("lon").cast("string"), lit(" "), col("lat").cast("string"), lit(","),
@@ -136,7 +148,7 @@ object SparkEntry {
     }),
 
     "q11_wkt_roundtrip" -> ((s, dir) => {
-      Synth.points(s, dir)
+      spread(Synth.points(s, dir))
         .withColumn("g", st_geomfromwkt(st_aswkt(st_point(col("lon"), col("lat")))))
         .select(col("pid"), st_x(col("g")).as("x"), st_y(col("g")).as("y"))
     }),
@@ -175,9 +187,15 @@ object SparkEntry {
     }),
 
     "q14_text_stats" -> ((s, dir) => {
+      // n_bpe: BPE-style pre-tokenizer count — letter runs, digit runs and
+      // punctuation runs as separate tokens (the GPT-2 pre-tokenizer split,
+      // minus its lookahead which RE2 lacks, so the oracle regex is
+      // byte-identical in semantics)
       docsT(s, dir).select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_c"),
         size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("long").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
+          .cast("long").as("n_bpe"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
           .cast("long").as("n_punct"))
     }),
@@ -275,7 +293,7 @@ object SparkEntry {
     }),
 
     "q31_geojson_roundtrip" -> ((s, dir) => {
-      Synth.points(s, dir)
+      spread(Synth.points(s, dir))
         .withColumn("g", st_geomfromgeojson(st_asgeojson(st_point(col("lon"), col("lat")))))
         .select(col("pid"), st_x(col("g")).as("x"), st_y(col("g")).as("y"))
     }),
@@ -298,7 +316,7 @@ object SparkEntry {
       // half valid boxes, half bow-ties needing repair. Output gates the
       // full simplify→makevalid→PrepareGeo→MVT-command-stream product at
       // coordinate level (rolling hash of the command stream).
-      val base = Synth.points(s, dir).select(col("pid"))
+      val base = spread(Synth.points(s, dir).select(col("pid")))
         .withColumn("z9", lit(9))
         .withColumn("tx", col("pid") * 7 % 512)
         .withColumn("ty", col("pid") % 312 + 100)
@@ -345,7 +363,7 @@ object SparkEntry {
       // endpoints; midpoint dedupe joins the halves. tol = 0.5.
       def c(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
         concat(x.cast("string"), lit(" "), y.cast("string"))
-      val p = Synth.points(s, dir)
+      val p = spread(Synth.points(s, dir))
         .withColumn("y1v", col("lat") + (col("pid") % 3).cast("double") * 0.3)
         .withColumn("y3v", col("lat") + (col("pid") % 5).cast("double") * 0.2)
         .withColumn("ls", st_geomfromwkt(concat(lit("LINESTRING ("),
@@ -374,7 +392,7 @@ object SparkEntry {
         lit(","), c(p2._1, p2._2), lit(","), c(p0._1, p0._2), lit("))"))
       val cw = concat(lit("POLYGON (("), c(p0._1, p0._2), lit(","), c(p2._1, p2._2),
         lit(","), c(p1._1, p1._2), lit(","), c(p0._1, p0._2), lit("))"))
-      Synth.points(s, dir)
+      spread(Synth.points(s, dir))
         .withColumn("g", st_rectify_polygon(st_geomfromwkt(
           when(col("pid") % 2 === 0, ccw).otherwise(cw))))
         .select(col("pid"), st_num_points(col("g")).as("npts"),
@@ -395,7 +413,7 @@ object SparkEntry {
         c(col("lon") - 1, col("lat") + 0.5), lit(","),
         c(col("lon") + 1, col("lat") + 1), lit(","),
         c(col("lon") + 3, col("lat") + 1.5), lit(")"))
-      Synth.points(s, dir)
+      spread(Synth.points(s, dir))
         .withColumn("g", st_clip(st_geomfromwkt(ls),
           col("lon"), col("lat"), col("lon") + 2, col("lat") + 2))
         .select(col("pid"), st_geomtype(col("g")).as("gtype"),
@@ -572,6 +590,7 @@ object SparkEntry {
     "q14_text_stats" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_c, " +
       "CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens, " +
+      "CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+')) AS BIGINT) AS n_bpe, " +
       "CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct FROM documents"),
 
     "q18_fingerprint" ->
