@@ -54,6 +54,40 @@ object SparkEntry {
            countDistinct(col("cell15")).as("n_tiles"))
   }
 
+  /** q33's deterministic input — the reference's composed cmd/main.go
+    * pipeline's synthetic polygons placed inside chosen z=9 web-mercator
+    * tiles: half valid boxes, half bow-ties needing repair. Shared by the
+    * q33 gate, the fused-vs-chained parity spec, and graft.Scaling's
+    * prebuilt-geometry tier. Gated at coordinate level (rolling hash of
+    * the command stream).
+    */
+  def q33Input(s: SparkSession, dir: String): DataFrame = {
+    val base = spread(Synth.points(s, dir).select(col("pid")))
+      .withColumn("z9", lit(9))
+      .withColumn("tx", col("pid") * 7 % 512)
+      .withColumn("ty", col("pid") % 312 + 100)
+      .withColumn("t", st_tile_extent_3857(lit(9), col("tx"), col("ty")))
+      .withColumn("xs", col("t.maxx") - col("t.minx"))
+      .withColumn("ys", col("t.maxy") - col("t.miny"))
+      .withColumn("gl", col("t.minx") + ((col("pid") % 8).cast("double") * 0.05 + 0.1) * col("xs"))
+      .withColumn("gt", col("t.miny") + ((col("pid") % 9).cast("double") * 0.05 + 0.1) * col("ys"))
+      .withColumn("ga", col("gl") + ((col("pid") % 4).cast("double") * 0.05 + 0.25) * col("xs"))
+      .withColumn("gb", col("gt") + ((col("pid") % 6).cast("double") * 0.04 + 0.25) * col("ys"))
+    def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      concat(x.cast("string"), lit(" "), y.cast("string"))
+    val boxWkt = concat(lit("POLYGON (("),
+      pt(col("gl"), col("gt")), lit(","), pt(col("ga"), col("gt")), lit(","),
+      pt(col("ga"), col("gb")), lit(","), pt(col("gl"), col("gb")), lit(","),
+      pt(col("gl"), col("gt")), lit("))"))
+    val bowWkt = concat(lit("POLYGON (("),
+      pt(col("gl"), col("gt")), lit(","), pt(col("ga"), col("gb")), lit(","),
+      pt(col("ga"), col("gt")), lit(","), pt(col("gl"), col("gb")), lit(","),
+      pt(col("gl"), col("gt")), lit("))"))
+    base
+      .withColumn("geom", st_geomfromwkt(when(col("pid") % 2 === 0, boxWkt).otherwise(bowWkt)))
+      .select(col("pid"), col("z9"), col("tx"), col("ty"), col("geom"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- slippy tiling ----
@@ -311,34 +345,7 @@ object SparkEntry {
     }),
 
     "q33_pipeline" -> ((s, dir) => {
-      // the reference's composed cmd/main.go pipeline over deterministic
-      // synthetic polygons placed inside chosen z=9 web-mercator tiles:
-      // half valid boxes, half bow-ties needing repair. Output gates the
-      // full simplify→makevalid→PrepareGeo→MVT-command-stream product at
-      // coordinate level (rolling hash of the command stream).
-      val base = spread(Synth.points(s, dir).select(col("pid")))
-        .withColumn("z9", lit(9))
-        .withColumn("tx", col("pid") * 7 % 512)
-        .withColumn("ty", col("pid") % 312 + 100)
-        .withColumn("t", st_tile_extent_3857(lit(9), col("tx"), col("ty")))
-        .withColumn("xs", col("t.maxx") - col("t.minx"))
-        .withColumn("ys", col("t.maxy") - col("t.miny"))
-        .withColumn("gl", col("t.minx") + ((col("pid") % 8).cast("double") * 0.05 + 0.1) * col("xs"))
-        .withColumn("gt", col("t.miny") + ((col("pid") % 9).cast("double") * 0.05 + 0.1) * col("ys"))
-        .withColumn("ga", col("gl") + ((col("pid") % 4).cast("double") * 0.05 + 0.25) * col("xs"))
-        .withColumn("gb", col("gt") + ((col("pid") % 6).cast("double") * 0.04 + 0.25) * col("ys"))
-      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
-      val boxWkt = concat(lit("POLYGON (("),
-        pt(col("gl"), col("gt")), lit(","), pt(col("ga"), col("gt")), lit(","),
-        pt(col("ga"), col("gb")), lit(","), pt(col("gl"), col("gb")), lit(","),
-        pt(col("gl"), col("gt")), lit("))"))
-      val bowWkt = concat(lit("POLYGON (("),
-        pt(col("gl"), col("gt")), lit(","), pt(col("ga"), col("gb")), lit(","),
-        pt(col("ga"), col("gt")), lit(","), pt(col("gl"), col("gb")), lit(","),
-        pt(col("gl"), col("gt")), lit("))"))
-      val withGeom = base
-        .withColumn("geom", st_geomfromwkt(when(col("pid") % 2 === 0, boxWkt).otherwise(bowWkt)))
-      graft.operators.TilePipeline.mvtCommands(withGeom, "geom", "z9", "tx", "ty")
+      graft.operators.TilePipeline.mvtCommands(q33Input(s, dir), "geom", "z9", "tx", "ty")
         .select(col("pid"), col("mvt_type"),
           size(col("mvt_commands")).cast("long").as("n_cmds"),
           aggregate(col("mvt_commands"), lit(0L),

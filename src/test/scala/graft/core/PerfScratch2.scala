@@ -1,0 +1,65 @@
+package graft.core
+
+import graft.core.Geom._
+
+/** multi-threaded kernel scaling probe (no Spark): the q33 chain on the
+  * same geometry at T=1, 8, 32 threads — isolates JVM/DRAM contention
+  * from Spark scheduling. Not a test.
+  */
+object PerfScratch2 {
+
+  def chain(pid: Long): Int = {
+    val z = 9
+    val tx = (pid * 7 % 512).toInt
+    val ty = (pid % 312 + 100).toInt
+    val ext = Slippy.tileExtent3857(z, tx, ty)
+    val xs = ext.maxx - ext.minx; val ys = ext.maxy - ext.miny
+    val webs = xs / 4096.0
+    val gl = ext.minx + ((pid % 8).toDouble * 0.05 + 0.1) * xs
+    val gt = ext.miny + ((pid % 9).toDouble * 0.05 + 0.1) * ys
+    val ga = gl + ((pid % 4).toDouble * 0.05 + 0.25) * xs
+    val gb = gt + ((pid % 6).toDouble * 0.04 + 0.25) * ys
+    val g =
+      if (pid % 2 == 0)
+        GPolygon(Vector(Vector[Pt]((gl, gt), (ga, gt), (ga, gb), (gl, gb))))
+      else
+        GPolygon(Vector(Vector[Pt]((gl, gt), (ga, gb), (ga, gt), (gl, gb))))
+    val simp = Simplify.geometry(g, webs)
+    val clip = Extent(ext.minx - webs, ext.miny - webs, ext.maxx + webs, ext.maxy + webs)
+    MakeValid.geometry(simp, Some(clip)) match {
+      case Some(fixed) =>
+        val prep = Mvt.prepareGeo(fixed, ext, 4096.0)
+        val (cmds, gt2) = Mvt.encodeGeometry(prep)
+        cmds.length + gt2
+      case None => 0
+    }
+  }
+
+  def runThreads(threads: Int, rowsPerThread: Long): Double = {
+    val ts = (0 until threads).map { t =>
+      new Thread(new Runnable {
+        def run(): Unit = {
+          var i = 0L; var acc = 0L
+          while (i < rowsPerThread) { acc += chain(t * rowsPerThread + i); i += 1 }
+          if (acc == 42) println("") // defeat DCE
+        }
+      })
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    // deep JIT warm: 60k rows single-threaded
+    var i = 0L; var acc = 0L
+    while (i < 60000) { acc += chain(i); i += 1 }
+    println(s"warm acc=$acc")
+    for (t <- Seq(1, 8, 32)) {
+      val rows = 600000L / t
+      val sec = runThreads(t, rows)
+      val usPerRow = sec * 1e6 * t / 600000.0
+      println(f"threads=$t%2d  total=${sec}%6.2f s   per-row(cpu)=$usPerRow%7.1f us  rows/s=${600000 / sec}%.0f")
+    }
+  }
+}
