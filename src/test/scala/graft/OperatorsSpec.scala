@@ -127,6 +127,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fused == chained)
   }
 
+  test("st_mvt_pipeline runs under Structured Streaming, matching batch output") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // feed a slice of the q33 input as WKB through a memory stream: the
+    // fused tile kernel is a stateless scalar expression, so the streaming
+    // micro-batch plan must produce the exact batch rows
+    val batchIn = graft.SparkEntry.q33Input(spark, dir)
+      .filter(col("pid") < 600)
+      .select(col("pid"), col("tx"), col("ty"), col("geom"))
+    val staged = batchIn.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+    val input = MemoryStream[(Long, Long, Long, Array[Byte])]
+    input.addData(staged.toSeq)
+    val streamDf = input.toDF().toDF("pid", "tx", "ty", "geom")
+      .withColumn("z9", lit(9))
+    val q = TilePipeline.mvtCommands(streamDf, "geom", "z9", "tx", "ty")
+      .select(col("pid"), col("mvt_type"), size(col("mvt_commands")).as("n_cmds"))
+      .writeStream.format("memory").queryName("mvt_stream_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql("SELECT * FROM mvt_stream_out").collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    val batch = TilePipeline.mvtCommands(batchIn.withColumn("z9", lit(9)),
+        "geom", "z9", "tx", "ty")
+      .select(col("pid"), col("mvt_type"), size(col("mvt_commands")).as("n_cmds"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("raster vectorize: rectangles cover exactly the occupied pixel set") {
     import spark.implicits._
     val pts = graft.sources.Synth.points(spark, dir).select(col("pid"), col("lon"), col("lat"))
