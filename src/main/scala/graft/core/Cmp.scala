@@ -59,8 +59,13 @@ final case class Cmp(tolerance: Double, bitTolerance: Long) {
       case (None, Some(_)) | (Some(_), None)            => return false
       case _                                            =>
     }
-    val sa = a.sortWith(Cmp.subRingLess)
-    val sb = b.sortWith(Cmp.subRingLess)
+    // the MAIN ring is pinned at index 0 — only holes sort
+    // (by_xy.go:25-31: Less(i,0)=false, Less(0,j)=true). The reference's
+    // "first ring not same" test vector depends on this: two polygons with
+    // swapped main/hole rings are NOT equal.
+    if (a.isEmpty) return true
+    val sa = a.head +: a.tail.sortWith(Cmp.subRingLess)
+    val sb = b.head +: b.tail.sortWith(Cmp.subRingLess)
     sa.indices.forall(i => lineStringEqual(sa(i), sb(i)))
   }
 
