@@ -51,7 +51,9 @@ object Scaling {
 
   def prepareScaled(sfDir: String, factor: Int): Unit = {
     val outDir = dirFor(factor)
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_READY"))) return
+    // versioned marker: v2 dirs carry the prebuilt q33geom.parquet for the
+    // ×8 tier; a round-1 dir with only the unversioned _READY is rebuilt.
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_READY_v2"))) return
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -69,16 +71,22 @@ object Scaling {
         .write.mode("overwrite").parquet(s"$outDir/q33geom.parquet")
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "_READY"), Array.emptyByteArray)
+    java.nio.file.Files.write(java.nio.file.Paths.get(outDir, "_READY_v2"), Array.emptyByteArray)
   }
 
   /** scaling-only measurement queries (not part of the driver gate). */
   private val localQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "q33_pipeline_op" -> ((s, dir) => {
       val pre = new java.io.File(s"$dir/q33geom.parquet")
-      // warm-up dirs have no prebuilt file — build the input inline there
-      val in = if (pre.exists) s.read.parquet(pre.getPath)
-               else SparkEntry.q33Input(s, dir)
+      // ONLY the sf0.001 warm-up dir may build the input inline; a replica
+      // dir without the prebuilt file is a stale prepare (round-2 advice:
+      // the silent fallback reintroduced the per-row WKT string build the
+      // tier was designed to exclude, corrupting the measurement).
+      val in =
+        if (pre.exists) s.read.parquet(pre.getPath)
+        else if (dir.contains("sf0.001")) SparkEntry.q33Input(s, dir)
+        else sys.error(s"stale scaling dir $dir: q33geom.parquet missing — " +
+          "delete the dir and re-run prepareScaled")
       graft.operators.TilePipeline.mvtCommands(in, "geom", "z9", "tx", "ty")
         .select(col("pid"), col("mvt_type"),
           size(col("mvt_commands")).cast("long").as("n_cmds"))
@@ -189,19 +197,31 @@ object Scaling {
     // hi runs of EACH query execute back-to-back — the per-query ratio is
     // taken between adjacent windows, cancelling the drift that an
     // interleaved min-of-N estimator mixes across windows.
+    // ESTIMATOR (round-2 advice): max-of-N paired ratios systematically
+    // selects rounds where host drift moved favorably between the lo and hi
+    // windows, biasing the headline upward as rounds grow. The headline is
+    // now the MEDIAN of the paired ratios, and every round's raw timings
+    // are emitted so the selection is visible in the JSON.
+    require(rounds >= 1, s"SPARK_GRAFT_SCALE_ROUNDS must be >= 1 (got $rounds)")
     val perLo = scala.collection.mutable.Map[String, Double]()
     val perHi = scala.collection.mutable.Map[String, Double]()
     val perEff = scala.collection.mutable.Map[String, Double]()
+    val perRounds = scala.collection.mutable.Map[String, Seq[(Double, Double, Double)]]()
     for ((name, factor) <- activePlan) {
-      var bestEff = 0.0; var bestLo = Double.MaxValue; var bestHi = Double.MaxValue
-      for (_ <- 1 to rounds) {
+      val rs = (1 to rounds).map { _ =>
         val tLo = runSingle(lo, name, factor)
         val tHi = runSingle(hi, name, factor)
         val eff = (tLo / tHi) / (hi.toDouble / lo)
-        if (eff > bestEff) { bestEff = eff; bestLo = tLo; bestHi = tHi }
+        require(!eff.isNaN && !eff.isInfinite && tLo > 0 && tHi > 0,
+          s"invalid paired timing for $name: lo=$tLo hi=$tHi")
+        (tLo, tHi, eff)
       }
-      perLo(name) = bestLo; perHi(name) = bestHi; perEff(name) = bestEff
-      System.err.println(f"SCALING $name lo=$bestLo%.1f hi=$bestHi%.1f eff=$bestEff%.2f")
+      val sorted = rs.sortBy(_._3)
+      val med = sorted(sorted.size / 2) // upper median for even N — still within the observed rounds
+      perLo(name) = med._1; perHi(name) = med._2; perEff(name) = med._3
+      perRounds(name) = rs
+      System.err.println(f"SCALING $name median lo=${med._1}%.1f hi=${med._2}%.1f eff=${med._3}%.2f " +
+        s"(all: ${rs.map(r => f"${r._3}%.2f").mkString(",")})")
     }
     val tLo = perLo.values.sum
     val tHi = perHi.values.sum
@@ -210,6 +230,9 @@ object Scaling {
     def fmt(m: collection.Map[String, Double]) =
       m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val tiers = activePlan.map { case (q, f) => "\"" + q + "\":" + f }.mkString("{", ",", "}")
-    println(s"""{"metric":"scaling","base":"$base","tiers":$tiers,"lo_cores":$lo,"hi_cores":$hi,"paired":true,"headline_total_sec_local$lo":$tLo,"headline_total_sec_local$hi":$tHi,"speedup":$speedup,"efficiency":$eff,"per_query_efficiency":${fmt(perEff)},"local$lo":${fmt(perLo)},"local$hi":${fmt(perHi)}}""")
+    val allRounds = perRounds.toSeq.sortBy(_._1).map { case (q, rs) =>
+      "\"" + q + "\":[" + rs.map { case (l, h, e) => s"""{"lo":$l,"hi":$h,"eff":$e}""" }.mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scaling","base":"$base","tiers":$tiers,"lo_cores":$lo,"hi_cores":$hi,"paired":true,"estimator":"median_of_paired_ratios","rounds":$rounds,"headline_total_sec_local$lo":$tLo,"headline_total_sec_local$hi":$tHi,"speedup":$speedup,"efficiency":$eff,"per_query_efficiency":${fmt(perEff)},"local$lo":${fmt(perLo)},"local$hi":${fmt(perHi)},"all_rounds":$allRounds}""")
   }
 }

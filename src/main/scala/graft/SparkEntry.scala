@@ -27,7 +27,16 @@ object SparkEntry {
     */
   private def spread(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    // metadata-only split estimate: `df.rdd.getNumPartitions` (round 1)
+    // forced a second physical planning + RDD build of the frame just to
+    // read a number (round-2 review). The scan's split count is bounded
+    // below by max(#files, totalBytes / maxPartitionBytes), both available
+    // from the cached file index / optimizer stats without planning.
+    val nFiles = df.inputFiles.length
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val estSplits = math.max(nFiles.toLong, (bytes / maxPart).toLong)
+    if (estSplits < cores) df.repartition(cores) else df
   }
 
   /** Flagship: interleaved docs table → span extraction → WKT parse →

@@ -119,14 +119,16 @@ object Ann {
     dot(vec, array(ivfCentroid(c, dim).map(lit(_)).toIndexedSeq: _*))
 
   /** map-side coarse assignment: the FIRST centroid index attaining the
-    * maximum score (greatest + first-match chain — no shuffle, no UDF).
+    * maximum score (no shuffle, no UDF). The scores are materialized ONCE
+    * as an array column and the argmax derived from it — the round-2
+    * greatest + first-match when-chain referenced every 64-element dot
+    * product twice in the plan, doubling map-side cost wherever Catalyst
+    * subexpression elimination didn't fire (interpreted paths). This form
+    * mirrors the DuckDB oracle's list_position argmax exactly.
     */
   def ivfAssign(vec: Column, dim: Int, nCentroids: Int): Column = {
-    val ss = (0 until nCentroids).map(c => centroidScore(vec, c, dim))
-    val gmax = greatest(ss: _*)
-    ss.zipWithIndex.foldRight(lit(-1)) { case ((sc, c), rest) =>
-      when(sc === gmax, lit(c)).otherwise(rest)
-    }
+    val scores = array((0 until nCentroids).map(c => centroidScore(vec, c, dim)): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
   /** IVF top-k: corpus assigned to its nearest coarse centroid in a single

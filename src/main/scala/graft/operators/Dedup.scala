@@ -40,29 +40,47 @@ object Dedup {
       .select(col("doc"), col("bb.band").as("band"), col("bb.bhash").as("bhash"))
   }
 
+  /** rolling band hash of signature positions [b·rpb, (b+1)·rpb) — the
+    * same fold `minhashBands` uses, recomputable from a carried signature.
+    */
+  private def bandHash(sig: org.apache.spark.sql.Column, b: Int, rowsPerBand: Int) =
+    (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      .reduce((acc, x) => (acc * 31 + x) % TextKernels.Prime)
+
   /** candidate near-dup pairs from shared LSH buckets, verified by
     * MinHash-estimated Jaccard ≥ threshold (fraction of matching
     * signature positions).
+    *
+    * ONE-PASS (round-2 review): the signature rides through the band
+    * explode, so the estimated Jaccard is computed map-side on the joined
+    * row — no post-hoc signature re-joins. A pair sharing several bands is
+    * emitted only from its FIRST shared band (both signatures are in hand,
+    * so "does any earlier band also collide?" is a map-side predicate) —
+    * no `distinct()`. Plan: map (sig) → map (explode) → one shuffle on
+    * (band, bhash) → map-side verify. Three shuffles fewer than round 2.
     */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numPerms = bands * rowsPerBand
     val sig = docs.select(col(idCol).as("doc"), minhash(col(textCol), lit(numPerms)).as("sig"))
-    val banded = minhashBands(docs, idCol, textCol, bands, rowsPerBand)
-    val pairs = banded.as("a").join(banded.as("b"),
+    val banded = sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(b => bandHash(col("sig"), b, rowsPerBand)): _*))
+        .as(Seq("band", "bhash")))
+    val firstSharedBand = (0 until bands).map { bp =>
+      when(col("a.band") > bp,
+        bandHash(col("a.sig"), bp, rowsPerBand) =!= bandHash(col("b.sig"), bp, rowsPerBand))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
-      .distinct()
-    pairs
-      .join(sig.select(col("doc").as("doc_a"), col("sig").as("sig_a")), Seq("doc_a"))
-      .join(sig.select(col("doc").as("doc_b"), col("sig").as("sig_b")), Seq("doc_b"))
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / numPerms)
+      .filter(firstSharedBand)
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        (aggregate(zip_with(col("a.sig"), col("b.sig"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, x) => acc + x).cast("double") / numPerms).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist inside identical

@@ -54,17 +54,34 @@ object Knn {
     * q21 wall-time regression. Footer counts are exact, so the chosen z
     * matches the count()-based round-1 plan at zero scan cost.
     */
+  /** Max parquet footers opened serially on the driver. Beyond the cap a
+    * deterministic stride-sample of footers is read and extrapolated by
+    * file count (round-2 review: at 100 TB ≈ 10⁵-10⁶ files the unbounded
+    * loop is minutes of driver time before the job starts; the zoom only
+    * needs the row count to within a factor of ~2, so a 64-footer sample
+    * is far more precision than required).
+    */
+  private val MaxFooterSamples = 64
+
   def zoomForPlan(points: DataFrame): Int = {
     val files = points.inputFiles.filter(_.endsWith(".parquet"))
     val rows: Long =
       if (files.nonEmpty) {
         val conf = points.sparkSession.sessionState.newHadoopConf()
-        files.map { f =>
+        val sampled =
+          if (files.length <= MaxFooterSamples) files
+          else {
+            val stride = files.length.toDouble / MaxFooterSamples
+            Array.tabulate(MaxFooterSamples)(i => files((i * stride).toInt))
+          }
+        val sampleRows = sampled.map { f =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
             .fromPath(new org.apache.hadoop.fs.Path(f), conf)
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
           try r.getRecordCount finally r.close()
         }.sum
+        if (sampled.length == files.length) sampleRows
+        else math.round(sampleRows.toDouble / sampled.length * files.length)
       } else {
         val stats = points.queryExecution.optimizedPlan.stats
         stats.rowCount.map(_.toLong).getOrElse {

@@ -35,9 +35,22 @@ object CatalogIO {
   def replaceTable(df: DataFrame, ident: String): Unit =
     try df.writeTo(ident).using("parquet").createOrReplace()
     catch {
-      case _: org.apache.spark.sql.AnalysisException =>
+      // Narrow fallback (round-2 advice): only the catalog telling us it
+      // cannot stage a V2 replace routes to V1; genuine analysis errors
+      // (bad identifier, unresolved column) propagate unmasked.
+      case e: org.apache.spark.sql.AnalysisException
+          if isUnsupportedReplace(e) =>
         df.write.mode("overwrite").format("parquet").saveAsTable(ident)
     }
+
+  private def isUnsupportedReplace(e: org.apache.spark.sql.AnalysisException): Boolean = {
+    val cls = Option(e.getCondition).getOrElse("")
+    val msg = Option(e.getMessage).getOrElse("")
+    cls.startsWith("UNSUPPORTED_FEATURE") ||
+      cls == "TABLE_OR_VIEW_NOT_FOUND" ||
+      msg.contains("only supported with v2 tables") ||
+      msg.contains("REPLACE TABLE is not supported")
+  }
 
   /** Append rows to a named table (Iceberg: an append snapshot). */
   def append(df: DataFrame, ident: String): Unit =

@@ -194,9 +194,13 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, "completely different words nothing shared at all here ok"),
       (5L, base)                               // exact dup of 1
     ).toDF("doc_id", "text")
-    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4,
+    val rawPairs = Dedup.nearDupPairs(docs, "doc_id", "text", bands = 4, rowsPerBand = 4,
       threshold = 0.4)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val pairs = rawPairs.toSet
+    // the exact dup (1,5) collides in every band; first-shared-band dedupe
+    // must emit each pair exactly once without a distinct()
+    assert(rawPairs.length == pairs.size, s"duplicate pair emission: $rawPairs")
     assert(pairs.contains((1L, 5L)), s"exact dup pair missing: $pairs")
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L) ||
            pairs.exists(p => p._1 == 2L && p._2 == 5L), s"near dup missing: $pairs")
