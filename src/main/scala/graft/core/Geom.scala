@@ -196,13 +196,23 @@ object Geom {
     val Universe: Extent =
       Extent(-Double.MaxValue, -Double.MaxValue, Double.MaxValue, Double.MaxValue)
 
-    def ofPoints(pts: Iterable[Pt]): Option[Extent] = {
-      val it = pts.iterator
+    def ofPoints(pts: Iterable[Pt]): Option[Extent] = ofPoints(pts.iterator)
+
+    def ofPoints(it: Iterator[Pt]): Option[Extent] = {
       if (!it.hasNext) return None
       val h = it.next()
-      var e = Extent(h._1, h._2, h._1, h._2)
-      while (it.hasNext) { val p = it.next(); e = e.addPoint(p._1, p._2) }
-      Some(e)
+      // scalar min/max fold — one Extent allocated, not one per point
+      // (math.min/max kept for NaN propagation and −0.0 ordering parity
+      // with the former addPoint chain)
+      var mnx = h._1; var mny = h._2; var mxx = h._1; var mxy = h._2
+      while (it.hasNext) {
+        val p = it.next()
+        mnx = math.min(mnx, p._1)
+        mny = math.min(mny, p._2)
+        mxx = math.max(mxx, p._1)
+        mxy = math.max(mxy, p._2)
+      }
+      Some(Extent(mnx, mny, mxx, mxy))
     }
 
     def ofGeometry(g: Geometry): Option[Extent] = ofPoints(coordinates(g))

@@ -41,16 +41,21 @@ object MakeValid {
                   polys: IndexedSeq[IndexedSeq[IndexedSeq[Pt]]]): IndexedSeq[Seg] = {
     val polySegs = polys.flatMap(_.flatMap(ringSegments))
     if (polySegs.isEmpty) return Vector.empty
-    val gext = Extent.ofPoints(polys.flatten.flatten).get
+    // same point stream as polys.flatten.flatten without materializing it
+    val gext = Extent.ofPoints(polys.iterator.flatMap(_.iterator).flatMap(_.iterator)).get
 
     val hasClipbox = clipbox.exists(cb => !cb.contains(gext))
     val segments: IndexedSeq[Seg] =
       if (hasClipbox) clipbox.get.edges ++ polySegs else polySegs
 
-    val ipts = mutable.HashMap[Int, mutable.ArrayBuffer[Pt]]()
+    // split points per segment, indexed by position (no boxed-Int map);
+    // most segments intersect nothing, so the bucket array stays sparse
+    val ipts = new Array[mutable.ArrayBuffer[Pt]](segments.length)
     Sweep.findIntersects(segments, connected = true) { (src, dest, pt) =>
-      ipts.getOrElseUpdate(src, mutable.ArrayBuffer.empty) += pt
-      ipts.getOrElseUpdate(dest, mutable.ArrayBuffer.empty) += pt
+      if (ipts(src) == null) ipts(src) = mutable.ArrayBuffer.empty
+      ipts(src) += pt
+      if (ipts(dest) == null) ipts(dest) = mutable.ArrayBuffer.empty
+      ipts(dest) += pt
       true
     }
 
@@ -58,30 +63,45 @@ object MakeValid {
     var i = 0
     while (i < segments.length) {
       val s = segments(i)
-      val pts = (mutable.ArrayBuffer[Pt](s.p1, s.p2) ++=
-        ipts.getOrElse(i, mutable.ArrayBuffer.empty))
-        .sortWith(Cmp.pointLess)
-      var j = 1
-      while (j < pts.length) {
-        if (!cmp.pointEqual(pts(j - 1), pts(j))) {
-          val nl = Seg(pts(j - 1), pts(j))
+      if (ipts(i) == null) {
+        // common case: endpoints only — a 2-element stable sort is one swap
+        val a = if (Cmp.pointLess(s.p1, s.p2)) s.p1 else s.p2
+        val b = if (Cmp.pointLess(s.p1, s.p2)) s.p2 else s.p1
+        if (!cmp.pointEqual(a, b)) {
+          val nl = Seg(a, b)
           if (!hasClipbox || clipbox.get.containsSeg(nl)) nsegs += nl
         }
-        j += 1
+      } else {
+        val pts = (mutable.ArrayBuffer[Pt](s.p1, s.p2) ++= ipts(i))
+          .sortWith(Cmp.pointLess)
+        var j = 1
+        while (j < pts.length) {
+          if (!cmp.pointEqual(pts(j - 1), pts(j))) {
+            val nl = Seg(pts(j - 1), pts(j))
+            if (!hasClipbox || clipbox.get.containsSeg(nl)) nsegs += nl
+          }
+          j += 1
+        }
       }
       i += 1
     }
 
     // sort + dedupe (reference `unique`, cleanly — the point set downstream
-    // is deduped again anyway)
+    // is deduped again anyway). Comparator decisions identical to the
+    // former pointLess/pointEqual-on-tuples form, scalarized.
     val sorted = nsegs.sortWith { (a, b) =>
-      Cmp.pointLess(a.p1, b.p1) || (cmp.pointEqual(a.p1, b.p1) && Cmp.pointLess(a.p2, b.p2))
+      (if (a.x1 != b.x1) a.x1 < b.x1 else a.y1 < b.y1) ||
+        (cmp.float(a.x1, b.x1) && cmp.float(a.y1, b.y1) &&
+          (if (a.x2 != b.x2) a.x2 < b.x2 else a.y2 < b.y2))
     }
     val out = Vector.newBuilder[Seg]
     var k = 0
     while (k < sorted.length) {
-      if (k == 0 || !(cmp.pointEqual(sorted(k).p1, sorted(k - 1).p1) &&
-          cmp.pointEqual(sorted(k).p2, sorted(k - 1).p2)))
+      if (k == 0 || {
+        val s = sorted(k); val p = sorted(k - 1)
+        !(cmp.float(s.x1, p.x1) && cmp.float(s.y1, p.y1) &&
+          cmp.float(s.x2, p.x2) && cmp.float(s.y2, p.y2))
+      })
         out += sorted(k)
       k += 1
     }
@@ -94,15 +114,21 @@ object MakeValid {
     * the subdivision, logging-and-skipping individual failures exactly as
     * the reference does.
     */
+  private val delaunaySeen = new ThreadLocal[Scratch.PtSet] {
+    override def initialValue(): Scratch.PtSet = new Scratch.PtSet(256)
+  }
+
   def delaunayTriangles(segs: IndexedSeq[Seg]): IndexedSeq[(Pt, Pt, Pt)] = {
-    val seen = mutable.HashSet[Pt]()
+    val seen = delaunaySeen.get()
+    seen.clear()
     val pts = mutable.ArrayBuffer[Pt]()
     val constraints = mutable.ArrayBuffer[Seg]()
     segs.foreach { s =>
       val lnt = math.sqrt(s.lengthSquared)
       if (!Cmp.Default.float(lnt, 0.0)) {
-        if (!seen.contains(s.p1)) { seen += s.p1; pts += s.p1 }
-        if (!seen.contains(s.p2)) { seen += s.p2; pts += s.p2 }
+        val p1 = s.p1; val p2 = s.p2
+        if (seen.add(p1)) pts += p1
+        if (seen.add(p2)) pts += p2
         constraints += s
       }
     }
@@ -146,8 +172,10 @@ object MakeValid {
     */
   def geometry(g: Geometry, clipbox: Option[Extent]): Option[Geometry] = g match {
     case GPolygon(rs) =>
+      QuadEdge.resetPool() // row boundary: prior rows' subdivisions are dead
       makeValid(Vector(rs), clipbox).map(GMultiPolygon.apply)
     case GMultiPolygon(mp) =>
+      QuadEdge.resetPool()
       makeValid(mp, clipbox).map(GMultiPolygon.apply)
     case other => Clip.geometry(other, clipbox)
   }

@@ -46,6 +46,27 @@ object Planar {
   def isPointOnLineSegment(cmp: Cmp, pt: Pt, seg: Seg): Boolean =
     seg.bboxContains(pt) && isPointOnLine(cmp, pt, seg.p1, seg.p2)
 
+  /** allocation-free isPointOnLineSegment (no Seg/tuple construction) —
+    * same branch structure as slope + isPointOnLine + bboxContains.
+    */
+  def isPointOnLineSegmentXY(cmp: Cmp, px: Double, py: Double,
+                             x1: Double, y1: Double, x2: Double, y2: Double): Boolean = {
+    val minx = if (x1 > x2) x2 else x1; val maxx = if (x1 > x2) x1 else x2
+    val miny = if (y1 > y2) y2 else y1; val maxy = if (y1 > y2) y1 else y2
+    if (!(minx <= px && px <= maxx && miny <= py && py <= maxy)) return false
+    val dx = x2 - x1; val dy = y2 - y1
+    if (dx == 0) cmp.float(px, x1) // slope undefined
+    else if (dy == 0) cmp.float(py, y1) // m == 0 (incl. the dy==0 early slope)
+    else {
+      val m = dy / dx
+      if (m == 0) cmp.float(py, y1) // dy/dx underflowed: original m==0 branch
+      else {
+        val b = y1 - (m * x1)
+        cmp.float(py, (m * px) + b)
+      }
+    }
+  }
+
   /** reference planar/planar.go:83-92 */
   def pointOnLineAt(l: Seg, distance: Double): Pt = {
     val lineDist = math.sqrt(l.lengthSquared)
@@ -185,6 +206,36 @@ object Planar {
     val t = ((deltaX13 * deltaY34) - (deltaY13 * deltaX34)) / denom
     val u = -((deltaX12 * deltaY13) - (deltaY12 * deltaX13)) / denom
     ((bx, by), u >= 0.0 && u <= 1.0 && t >= 0.0 && t <= 1.0)
+  }
+
+  /** segmentIntersect allocating the point ONLY on a hit (null otherwise) —
+    * the sweep tests far more pairs than it confirms, and the per-test
+    * ((0,0), false) tuple was a measured allocation source. Identical FP
+    * ops to segmentIntersect.
+    */
+  def segmentIntersectOrNull(l1: Seg, l2: Seg): Pt = {
+    val deltaX12 = l1.x1 - l1.x2
+    val deltaX13 = l1.x1 - l2.x1
+    val deltaX34 = l2.x1 - l2.x2
+    val deltaY12 = l1.y1 - l1.y2
+    val deltaY13 = l1.y1 - l2.y1
+    val deltaY34 = l2.y1 - l2.y2
+    val denom = (deltaX12 * deltaY34) - (deltaY12 * deltaX34)
+    if (denom == 0) return null
+
+    val t = ((deltaX13 * deltaY34) - (deltaY13 * deltaX34)) / denom
+    val u = -((deltaX12 * deltaY13) - (deltaY12 * deltaX13)) / denom
+    if (!(u >= 0.0 && u <= 1.0 && t >= 0.0 && t <= 1.0)) return null
+
+    val cross1 = (l1.x1 * l1.y2) - (l1.y1 * l1.x2)
+    val cross2 = (l2.x1 * l2.y2) - (l2.y1 * l2.x2)
+    val xnom = (cross1 * deltaX34) - (deltaX12 * cross2)
+    val ynom = (cross1 * deltaY34) - (deltaY12 * cross2)
+    var bx = xnom / denom
+    var by = ynom / denom
+    if (bx == 0.0) bx = 0.0
+    if (by == 0.0) by = 0.0
+    (bx, by)
   }
 
   /** reference planar/line_helpers.go:10-16 — canonical segment direction

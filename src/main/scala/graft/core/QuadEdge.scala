@@ -72,16 +72,64 @@ object QuadEdge {
     }
   }
 
-  /** 4-edge group (reference quadedge.go Init). */
-  def newEdge(): Edge = {
+  // ---- per-thread quad-group pool ----
+  //
+  // Round-2 finding (scaling_r2.json runs 4-6): the makevalid/tile kernels
+  // anti-scale above ~8 workers because every row allocates a fresh graph
+  // (Array[4] + 4 Edge objects per edge, thousands per polygon) — the
+  // allocation traffic saturates the DRAM bus before the cores do. The
+  // kernels are single-row sequential, so quad groups are pooled per
+  // thread and recycled at row boundaries (MakeValid.geometry resets).
+  // Groups beyond PoolCap fall back to plain allocation (GC'd), bounding
+  // retained memory at ~6 MB/thread while keeping the steady state
+  // allocation-free for any realistic polygon.
+
+  private final val PoolCap = 32768
+
+  private def mkGroup(): Array[Edge] = {
     val es = Array(new Edge(0), new Edge(1), new Edge(2), new Edge(3))
-    es.foreach(_.qe = es)
+    es(0).qe = es; es(1).qe = es; es(2).qe = es; es(3).qe = es
+    es
+  }
+
+  private def initGroup(es: Array[Edge]): Unit = {
     es(0).next = es(0)
     es(1).next = es(3)
     es(2).next = es(2)
     es(3).next = es(1)
-    es(0)
+    var i = 0
+    while (i < 4) { es(i).v = null.asInstanceOf[Pt]; es(i).hasV = false; i += 1 }
   }
+
+  private final class EdgePool {
+    private var groups = new Array[Array[Edge]](256)
+    private var n = 0 // high-water of pooled groups
+    private var idx = 0 // next pooled group to hand out
+    def reset(): Unit = idx = 0
+    def take(): Edge = {
+      val es =
+        if (idx < n) { val g = groups(idx); idx += 1; g }
+        else if (n < PoolCap) {
+          if (n == groups.length) groups = java.util.Arrays.copyOf(groups, groups.length * 2)
+          val g = mkGroup(); groups(n) = g; n += 1; idx = n; g
+        } else mkGroup() // pool exhausted: plain allocation, GC reclaims
+      initGroup(es)
+      es(0)
+    }
+  }
+
+  private val pool = new ThreadLocal[EdgePool] {
+    override def initialValue(): EdgePool = new EdgePool
+  }
+
+  /** Recycle this thread's pooled quad groups. ONLY safe at a row boundary:
+    * every Subdivision built since the previous reset must be dead.
+    * MakeValid.geometry (the per-row kernel entry) calls this.
+    */
+  def resetPool(): Unit = pool.get().reset()
+
+  /** 4-edge group (reference quadedge.go Init) — pooled per thread. */
+  def newEdge(): Edge = pool.get().take()
 
   def newWithEndPoints(o: Pt, d: Pt): Edge = {
     val e = newEdge()
@@ -141,18 +189,22 @@ object QuadEdge {
   /** reference topo.go OnEdge: point-on-segment with HiCMP. */
   def onEdge(pt: Pt, e: Edge): Boolean = {
     if (!e.origDefined || !e.destDefined) return false
-    Planar.isPointOnLineSegment(cmp, pt, e.asSeg)
+    val o = e.orig; val d = e.dest
+    Planar.isPointOnLineSegmentXY(cmp, pt._1, pt._2, o._1, o._2, d._1, d._2)
   }
 
   /** reference topo.go RightOf: x is clockwise of (orig, dest). */
   def rightOf(yPositiveDown: Boolean, x: Pt, e: Edge): Boolean = {
     if (!e.origDefined || !e.destDefined) return false
-    Winding.orientation(yPositiveDown, Vector(e.orig, e.dest, x)) == Winding.Clockwise
+    val o = e.orig; val d = e.dest
+    Winding.orientation3(yPositiveDown, o._1, o._2, d._1, d._2, x._1, x._2) ==
+      Winding.Clockwise
   }
 
   // ---- ResolveEdge (reference resolve_edge.go:71-277) ----
 
-  private final class REdge(val orig: Pt, val destAbs: Pt) {
+  private final class REdge {
+    var destAbs: Pt = _
     var e: Edge = _
     var ab, da, db: Int = 0
     var candidate: Edge = _
@@ -174,29 +226,47 @@ object QuadEdge {
     def containsDest: Boolean = e.asSeg.bboxContains(destAbs)
   }
 
+  private val rEdgeScratch = new ThreadLocal[REdge] {
+    override def initialValue(): REdge = new REdge
+  }
+
   /** Returns Right(edge) on clean resolve, Left((edge, reason)) when the
     * reference would return (candidate, error).
     */
   def resolveEdge(yPositiveDown: Boolean, gse: Edge, odest: Pt): Either[(Edge, String), Edge] = {
     val orig = gse.orig
     if (cmp.pointEqual(orig, odest)) return Left((null, "invalid end vertex"))
-    val dest = (odest._1 - orig._1, odest._2 - orig._2)
-    val re = new REdge(orig, odest)
+    val origX = orig._1; val origY = orig._2
+    val destX = odest._1 - origX; val destY = odest._2 - origY
+    val re = rEdgeScratch.get() // resolveEdge never self-nests
+    re.destAbs = odest
+    re.e = null; re.candidate = null; re.err = null
 
-    gse.walkAllONext { e =>
+    // inline walkAllONext: the oNext ring around orig cycles back to the
+    // starting group; the seen-IdentityHashMap of the generic walker exists
+    // only to terminate corrupted topologies, which the iteration cap
+    // covers here without a per-call map allocation (round-3 hot path).
+    var e = gse
+    var iter = 0
+    var walking = true
+    while (walking && e != null) {
       val apt = e.dest
       val bpt = e.oNext.dest
       re.err = null
       re.candidate = null
-      val ao = (apt._1 - orig._1, apt._2 - orig._2)
-      val bo = (bpt._1 - orig._1, bpt._2 - orig._2)
-      val oo = (0.0, 0.0)
-      re.ab = Winding.orientation(yPositiveDown, Vector(ao, bo, oo))
-      re.da = Winding.orientation(yPositiveDown, Vector(dest, ao, oo))
-      re.db = Winding.orientation(yPositiveDown, Vector(dest, bo, oo))
+      val aoX = apt._1 - origX; val aoY = apt._2 - origY
+      val boX = bpt._1 - origX; val boY = bpt._2 - origY
+      re.ab = Winding.orientation3(yPositiveDown, aoX, aoY, boX, boY, 0.0, 0.0)
+      re.da = Winding.orientation3(yPositiveDown, destX, destY, aoX, aoY, 0.0, 0.0)
+      re.db = Winding.orientation3(yPositiveDown, destX, destY, boX, boY, 0.0, 0.0)
       re.e = e
       if (yPositiveDown) tableYDown(re) else tableYUp(re)
-      re.candidate == null && re.err == null
+      if (re.candidate != null || re.err != null) walking = false
+      else {
+        e = e.oNext
+        iter += 1
+        if ((e.qe eq gse.qe) || iter > (1 << 20)) walking = false
+      }
     }
     if (re.err != null) Left((re.candidate, re.err))
     else if (re.candidate != null) Right(re.candidate)

@@ -54,10 +54,7 @@ final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)
       val t = e.oPrev
       var containsPoint = false
       if (!setOfThreeAreColinear(x, e.orig, e.dest, t.dest)) {
-        circleFromPoints(e.orig, t.dest, e.dest) match {
-          case Some(crl) => containsPoint = circleContainsPoint(crl, x)
-          case None      =>
-        }
+        containsPoint = circumcircleContains(e.orig, t.dest, e.dest, x)
       }
       // RETRY loop: a swap candidate whose neighborhood is colinear resets
       // containsPoint and re-dispatches (subdivision.go RETRY label)
@@ -88,7 +85,7 @@ final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)
   def triangles(includeFrame: Boolean): IndexedSeq[(Pt, Pt, Pt)] = {
     val out = Vector.newBuilder[(Pt, Pt, Pt)]
     walkAllTriangles(startingEdge) { (start, mid, end) =>
-      if (includeFrame || !isFramePoint(frame, start, mid, end))
+      if (includeFrame || !isFramePoint3(frame, start, mid, end))
         out += ((start, mid, end))
       true
     }
@@ -122,11 +119,13 @@ object Subdivision {
     * four triples colinear by WINDING orientation (exact sign), not the
     * area-tolerance test.
     */
-  def setOfThreeAreColinear(p1: Pt, p2: Pt, p3: Pt, p4: Pt): Boolean =
-    Winding.ofPoints(Vector(p1, p2, p3)) == Winding.Colinear ||
-      Winding.ofPoints(Vector(p1, p2, p4)) == Winding.Colinear ||
-      Winding.ofPoints(Vector(p1, p3, p4)) == Winding.Colinear ||
-      Winding.ofPoints(Vector(p2, p3, p4)) == Winding.Colinear
+  def setOfThreeAreColinear(p1: Pt, p2: Pt, p3: Pt, p4: Pt): Boolean = {
+    val C = Winding.Colinear
+    Winding.orientation3(false, p1._1, p1._2, p2._1, p2._2, p3._1, p3._2) == C ||
+      Winding.orientation3(false, p1._1, p1._2, p2._1, p2._2, p4._1, p4._2) == C ||
+      Winding.orientation3(false, p1._1, p1._2, p3._1, p3._2, p4._1, p4._2) == C ||
+      Winding.orientation3(false, p2._1, p2._2, p3._1, p3._2, p4._1, p4._2) == C
+  }
 
   /** reference circle.go:25-93 CircleFromPoints — exact branch structure. */
   def circleFromPoints(a: Pt, b: Pt, c: Pt): Option[(Double, Double, Double)] = {
@@ -217,6 +216,66 @@ object Subdivision {
     Cmp.HiCmp.float(c._3, d) || c._3 > d
   }
 
+  /** allocation-free CircleFromPoints + ContainsPoint for the insertSite
+    * swap loop (the Option + boxed-triple per candidate test was hot):
+    * identical branch structure and FP ops; the colinear/degenerate paths
+    * that return None map to `false` exactly as the match in insertSite did.
+    */
+  def circumcircleContains(a: Pt, b: Pt, c: Pt, pt: Pt): Boolean = {
+    var xA = a._1; var yA = a._2
+    var xB = b._1; var yB = b._2
+    var xC = c._1; var yC = c._2
+    if (((yB - yA) * (xC - xB)) == ((yC - yB) * (xB - xA))) return false
+
+    var xDeltaA = xB - xA
+    var xDeltaB = xC - xB
+    var guard = 0
+    while ((xDeltaA == 0 || xDeltaB == 0) && guard < 4) {
+      val nxA = xB; val nyA = yB; val nxB = xC; val nyB = yC; val nxC = xA; val nyC = yA
+      xA = nxA; yA = nyA; xB = nxB; yB = nyB; xC = nxC; yC = nyC
+      xDeltaA = xB - xA; xDeltaB = xC - xB
+      guard += 1
+    }
+    if (xDeltaA == 0 || xDeltaB == 0) return false // colinear degenerate
+
+    val yDeltaA = yB - yA
+    val yDeltaB = yC - yB
+    val midABx = (xA + xB) / 2; val midABy = (yA + yB) / 2
+    val midBCx = (xB + xC) / 2; val midBCy = (yB + yC) / 2
+
+    var x = 0.0; var y = 0.0
+    if (yDeltaA == 0 && xDeltaB == 0) { x = midABx; y = midBCy }
+    else if (yDeltaA == 0) {
+      val slopeB = yDeltaB / xDeltaB
+      x = midABx
+      y = midBCy + ((midBCx - x) / slopeB)
+    } else if (yDeltaB == 0 && xDeltaA == 0) { x = midBCx; y = midABy }
+    else if (yDeltaB == 0) {
+      val slopeA = yDeltaA / xDeltaA
+      x = midBCx
+      y = midABy + (midABx - x) / slopeA
+    } else if (xDeltaA == 0) {
+      val slopeB = yDeltaB / xDeltaB
+      y = midBCy
+      x = slopeB * (midBCy - y) + midBCx
+    } else if (xDeltaB == 0) {
+      val slopeA = yDeltaA / xDeltaA
+      y = midBCy
+      x = slopeA * (midABy - y) + midABx
+    } else {
+      val slopeA = yDeltaA / xDeltaA
+      val slopeB = yDeltaB / xDeltaB
+      x = ((slopeA * slopeB * (yA - yC)) + (slopeB * (xA + xB)) - (slopeA * (xB + xC))) /
+        (2 * (slopeB - slopeA))
+      y = (-1 / slopeA) * (x - (xA + xB) * 0.5) + ((yA + yB) * 0.5)
+    }
+    val vA = x - xA; val vB = y - yA // xA/yA post-rotation, as in circleFromPoints
+    val r = math.sqrt(vA * vA + vB * vB)
+    val w1 = x - pt._1; val w2 = y - pt._2
+    val d = math.sqrt(w1 * w1 + w2 * w2)
+    Cmp.HiCmp.float(r, d) || r > d
+  }
+
   /** reference triangle.go:91-123 NewTriangleForExtent, buff = 10. */
   def triangleContaining(ext: Extent): (Pt, Pt, Pt) = {
     val buff = 10.0
@@ -253,6 +312,10 @@ object Subdivision {
   /** reference subdivision.go:96-183 NewForPoints: round, frame, insert
     * each unseen point (exact-key dedupe like the Go map on geom.Point).
     */
+  private val forPointsSeen = new ThreadLocal[Scratch.PtSet] {
+    override def initialValue(): Scratch.PtSet = new Scratch.PtSet(256)
+  }
+
   def forPoints(points: IndexedSeq[Pt]): Option[Subdivision] = {
     if (points.isEmpty) return None
     val rounded = points.map(roundPoint)
@@ -261,12 +324,13 @@ object Subdivision {
       case Some(ext) =>
         val (a, b, c) = triangleContaining(ext)
         val sd = ofFrame(a, b, c)
-        val seen = mutable.HashSet[Pt](a, b, c)
+        val seen = forPointsSeen.get()
+        seen.clear()
+        seen.add(a); seen.add(b); seen.add(c)
         val it = rounded.iterator
         while (it.hasNext) {
           val pt = it.next()
-          if (!seen.contains(pt)) {
-            seen += pt
+          if (seen.add(pt)) {
             if (!sd.insertSite(pt)) return None // reference errors out
           }
         }
@@ -274,37 +338,44 @@ object Subdivision {
     }
   }
 
-  /** reference subdivision.go locate + testEdge. */
+  /** reference subdivision.go locate + testEdge. The walk step is inlined
+    * allocation-free (the tuple-returning testEdge was a per-step
+    * allocation on the hottest loop in insertSite); the rare WalkAllEdges
+    * fallback keeps the closure form.
+    */
   private[core] def locate(se0: Edge, x: Pt, limit: Int): Option[Edge] = {
     val se = QuadEdge.resolveEdge(yPositiveDown = false, se0, x) match {
       case Right(e)     => e
       case Left((e, _)) => if (e != null) e else se0
     }
 
-    def testEdge(e: Edge): (Edge, Boolean) = {
-      if (ptEqual(x, e) || ptEqualDest(x, e)) (e, true)
-      else if (QuadEdge.rightOf(yPositiveDown = false, x, e)) (e.sym, false)
-      else if (!QuadEdge.rightOf(yPositiveDown = false, x, e.oNext)) (e.oNext, false)
-      else if (!QuadEdge.rightOf(yPositiveDown = false, x, e.dPrev)) (e.dPrev, false)
-      else (e, true)
-    }
-
-    var (e, ok) = testEdge(se)
-    var count = 0
+    // returns the next edge; `ok` is signalled by returning the SAME edge
+    // (testEdge only reports ok=true with an unchanged edge) — except the
+    // rightOf step, which may return e.sym of the same group, never e.
+    var e = se
+    var ok = false
+    var count = -1 // first iteration mirrors the pre-loop testEdge call
     while (!ok) {
       count += 1
-      if ((e eq se) || count > limit) {
+      if (count > 0 && ((e eq se) || count > limit)) {
         // fallback: scan every edge (reference locate WalkAllEdges path)
         var found: Edge = null
         walkAllEdges(se, { ee =>
-          val (_, ok2) = testEdge(ee)
+          val ok2 =
+            if (ptEqual(x, ee) || ptEqualDest(x, ee)) true
+            else if (QuadEdge.rightOf(yPositiveDown = false, x, ee)) false
+            else if (!QuadEdge.rightOf(yPositiveDown = false, x, ee.oNext)) false
+            else if (!QuadEdge.rightOf(yPositiveDown = false, x, ee.dPrev)) false
+            else true
           if (ok2) { found = ee; false } else true
         })
         return Option(found)
       }
-      val r = testEdge(e)
-      e = r._1
-      ok = r._2
+      if (ptEqual(x, e) || ptEqualDest(x, e)) ok = true
+      else if (QuadEdge.rightOf(yPositiveDown = false, x, e)) e = e.sym
+      else if (!QuadEdge.rightOf(yPositiveDown = false, x, e.oNext)) e = e.oNext
+      else if (!QuadEdge.rightOf(yPositiveDown = false, x, e.dPrev)) e = e.dPrev
+      else ok = true
     }
     Some(e)
   }
@@ -333,17 +404,31 @@ object Subdivision {
     pts.exists(p => qcmp.pointEqual(p, frame._1) || qcmp.pointEqual(p, frame._2) ||
       qcmp.pointEqual(p, frame._3))
 
+  /** varargs-free isFramePoint for the per-triangle hot path (the Pt*
+    * WrappedArray was a measured allocation source).
+    */
+  def isFramePoint3(frame: (Pt, Pt, Pt), a: Pt, b: Pt, c: Pt): Boolean = {
+    @inline def isF(p: Pt): Boolean =
+      qcmp.pointEqual(p, frame._1) || qcmp.pointEqual(p, frame._2) ||
+        qcmp.pointEqual(p, frame._3)
+    isF(a) || isF(b) || isF(c)
+  }
+
+  private val walkSeen = new ThreadLocal[Scratch.PtSet] {
+    override def initialValue(): Scratch.PtSet = new Scratch.PtSet(256)
+  }
+
   /** reference subdivision.go:620-684 WalkAllTriangles. */
   def walkAllTriangles(se: Edge)(fn: (Pt, Pt, Pt) => Boolean): Unit = {
     if (se == null) return
     val edgeStack = mutable.ArrayBuffer[Edge](se)
-    val seenVertices = mutable.HashSet[Pt]()
+    val seenVertices = walkSeen.get()
+    seenVertices.clear()
 
     while (edgeStack.nonEmpty) {
       val startingEdge = edgeStack.remove(edgeStack.length - 1)
       val startPoint = startingEdge.orig
-      if (!seenVertices.contains(startPoint)) {
-        seenVertices += startPoint
+      if (seenVertices.add(startPoint)) {
         var workingEdge = startingEdge
         var nextEdge = startingEdge.oNext
         if (workingEdge ne nextEdge) {

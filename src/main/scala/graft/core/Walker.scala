@@ -13,6 +13,10 @@ object Walker {
   private val cmp = Cmp.HiCmp
   type Tri = (Pt, Pt, Pt)
 
+  private val ringPtIndex = new ThreadLocal[Scratch.PtIntMap] {
+    override def initialValue(): Scratch.PtIntMap = new Scratch.PtIntMap(256)
+  }
+
   private def sortedEdge(p1: Pt, p2: Pt): (Pt, Pt) =
     if (Cmp.pointLess(p1, p2)) (p1, p2) else (p2, p1)
 
@@ -167,17 +171,18 @@ object Walker {
     def nIdx(i: Int): Int = if (i == rng.length - 1) 0 else i + 1
 
     val plyg = mutable.ArrayBuffer[IndexedSeq[Pt]](Vector.empty)
-    val ptIndex = mutable.HashMap[Pt, Int]()
+    val ptIndex = ringPtIndex.get()
+    ptIndex.clear()
 
     // mirrors the reference's `for i := 0; i < len(rng); i++` — the index
     // reassignments inside the branches are followed by the loop increment
     var i = 0
     var break = false
     while (i < rng.length && !break) {
-      ptIndex.get(rng(i)) match {
-        case None =>
-          ptIndex(rng(i)) = i
-        case Some(idx) =>
+      ptIndex.getOrElse(rng(i), -1) match {
+        case -1 =>
+          ptIndex.put(rng(i), i)
+        case idx =>
           val pidx = pIdx(idx)
           val nidx = nIdx(i)
           var j = idx

@@ -44,22 +44,80 @@ object Winding {
     else 1
   }
 
-  /** reference winding/winding.go:151-168 Orientation. */
+  /** reference winding/winding.go:151-168 Orientation. The translated
+    * copy is computed inline (identical FP ops in identical order to the
+    * round-2 `pts.map` + xprod — each adjusted point is just recomputed at
+    * its two uses) instead of materializing an adjusted Vector per call.
+    */
   def orientation(yPositiveDown: Boolean, pts: IndexedSeq[Pt]): Int = {
     if (pts.length < 3) return Colinear
     val mul = if (yPositiveDown) -1 else 1
-    val p0 = pts.head
-    val adjusted = pts.map(p => (p._1 - p0._1, p._2 - p0._2))
-    mul * orient(adjusted)
+    val p0 = pts(0)
+    val p0x = p0._1; val p0y = p0._2
+    var sum = 0.0
+    var li = pts.length - 1
+    var i = 0
+    while (i < pts.length) {
+      val lp = pts(li); val cp = pts(i)
+      val lx = lp._1 - p0x; val ly = lp._2 - p0y
+      val cx = cp._1 - p0x; val cy = cp._2 - p0y
+      sum += (lx * cy) - (cx * ly)
+      li = i
+      i += 1
+    }
+    if (sum == 0.0) Colinear
+    else if (java.lang.Double.doubleToRawLongBits(sum) < 0) -mul
+    else mul
   }
 
   def ofPoints(pts: IndexedSeq[Pt]): Int = orientation(yPositiveDown = false, pts)
 
+  /** Allocation-free 3-point orientation — bit-for-bit the operations of
+    * `orientation(yDown, Vector(p1, p2, p3))`: translate every point by p1,
+    * then the xprod shoelace with the previous-index starting at the LAST
+    * point, sign-bit decide (so −0.0 counts negative). The hot quad-edge
+    * predicates (rightOf, resolveEdge, setOfThreeAreColinear) run this tens
+    * of times per inserted site; the Vector+tuple version was the dominant
+    * allocation source behind the round-2 q33 DRAM wall.
+    */
+  def orientation3(yPositiveDown: Boolean,
+                   x1: Double, y1: Double, x2: Double, y2: Double,
+                   x3: Double, y3: Double): Int = {
+    val mul = if (yPositiveDown) -1 else 1
+    val ax = x1 - x1; val ay = y1 - y1 // kept: identical FP ops to the map
+    val bx = x2 - x1; val by = y2 - y1
+    val cx = x3 - x1; val cy = y3 - y1
+    var sum = (cx * ay) - (ax * cy) // li = last, i = 0
+    sum += (ax * by) - (bx * ay)
+    sum += (bx * cy) - (cx * by)
+    if (sum == 0.0) Colinear
+    else if (java.lang.Double.doubleToRawLongBits(sum) < 0) -mul
+    else mul
+  }
+
   /** reference winding/winding.go:176-190 OfInt64Points (MVT path:
     * winding computed AFTER int64 truncation).
     */
-  def ofLongPoints(yPositiveDown: Boolean, pts: IndexedSeq[(Long, Long)]): Int =
-    orientation(yPositiveDown, pts.map(p => (p._1.toDouble, p._2.toDouble)))
+  def ofLongPoints(yPositiveDown: Boolean, pts: IndexedSeq[(Long, Long)]): Int = {
+    if (pts.length < 3) return Colinear
+    val mul = if (yPositiveDown) -1 else 1
+    val p0 = pts(0)
+    val p0x = p0._1.toDouble; val p0y = p0._2.toDouble
+    var sum = 0.0
+    var li = pts.length - 1
+    var i = 0
+    while (i < pts.length) {
+      val lp = pts(li); val cp = pts(i)
+      val lx = lp._1.toDouble - p0x; val ly = lp._2.toDouble - p0y
+      val cx = cp._1.toDouble - p0x; val cy = cp._2.toDouble - p0y
+      sum += (lx * cy) - (cx * ly)
+      li = i
+      i += 1
+    }
+    if (sum == 0.0) Colinear
+    else if (java.lang.Double.doubleToRawLongBits(sum) < 0) -mul
+    else mul
+  }
 
   /** reference winding/winding.go:203-236 RectifyPolygon:
     * ring 0 forced clockwise, others counter-clockwise; colinear rings are

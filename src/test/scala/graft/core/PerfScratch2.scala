@@ -51,15 +51,17 @@ object PerfScratch2 {
   }
 
   def main(args: Array[String]): Unit = {
+    val total = if (args.nonEmpty) args(0).toLong else 600000L
+    val reps = if (args.length > 1) args(1).toInt else 1
     // deep JIT warm: 60k rows single-threaded
     var i = 0L; var acc = 0L
     while (i < 60000) { acc += chain(i); i += 1 }
     println(s"warm acc=$acc")
-    for (t <- Seq(1, 8, 32)) {
-      val rows = 600000L / t
+    for (_ <- 1 to reps; t <- Seq(1, 8, 32)) {
+      val rows = total / t
       val sec = runThreads(t, rows)
-      val usPerRow = sec * 1e6 * t / 600000.0
-      println(f"threads=$t%2d  total=${sec}%6.2f s   per-row(cpu)=$usPerRow%7.1f us  rows/s=${600000 / sec}%.0f")
+      val usPerRow = sec * 1e6 * t / total.toDouble
+      println(f"threads=$t%2d  total=${sec}%6.2f s   per-row(cpu)=$usPerRow%7.1f us  rows/s=${total / sec}%.0f")
     }
   }
 }
