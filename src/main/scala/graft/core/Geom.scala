@@ -94,10 +94,13 @@ object Geom {
   def ringSegments(ring: IndexedSeq[Pt]): IndexedSeq[Seg] =
     if (ring.length < 3) Vector.empty
     else {
+      val arr = new Array[Seg](ring.length)
       var prev = ring.length - 1
-      (0 until ring.length).map { i =>
-        val s = Seg(ring(prev), ring(i)); prev = i; s
+      var i = 0
+      while (i < ring.length) {
+        arr(i) = Seg(ring(prev), ring(i)); prev = i; i += 1
       }
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
     }
 
   /** reference line_string.go:24-30 — exact first==last closed test. */

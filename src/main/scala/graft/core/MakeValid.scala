@@ -39,19 +39,70 @@ object MakeValid {
   /** reference makevalid.go:87-150 Destructure. */
   def destructure(clipbox: Option[Extent],
                   polys: IndexedSeq[IndexedSeq[IndexedSeq[Pt]]]): IndexedSeq[Seg] = {
-    val polySegs = polys.flatMap(_.flatMap(ringSegments))
-    if (polySegs.isEmpty) return Vector.empty
-    // same point stream as polys.flatten.flatten without materializing it
-    val gext = Extent.ofPoints(polys.iterator.flatMap(_.iterator).flatMap(_.iterator)).get
+    val out = new Scratch.SegBuf
+    destructureBuf(clipbox, polys, out)
+    val b = Vector.newBuilder[Seg]
+    var i = 0
+    while (i < out.n) { b += Seg(out.x1(i), out.y1(i), out.x2(i), out.y2(i)); i += 1 }
+    b.result()
+  }
 
+  /** per-thread scratch for the packed destructure pipeline: the raw
+    * segment set, the split output, and the sort order array. Distinct
+    * from the caller-owned result buffer.
+    */
+  private final class MvScratch {
+    val raw = new Scratch.SegBuf
+    val split = new Scratch.SegBuf
+    var order = new Array[Int](256)
+    val result = new Scratch.SegBuf
+  }
+  private val mvScratch = new ThreadLocal[MvScratch] {
+    override def initialValue(): MvScratch = new MvScratch
+  }
+
+  /** packed Destructure — identical decisions to the Seg-object form, all
+    * coordinates in pooled primitive arrays.
+    */
+  private def destructureBuf(clipbox: Option[Extent],
+                             polys: IndexedSeq[IndexedSeq[IndexedSeq[Pt]]],
+                             out: Scratch.SegBuf): Unit = {
+    out.clear()
+    val sc = mvScratch.get()
+    val raw = sc.raw
+    raw.clear()
+
+    // clipbox edges are PREPENDED when active, so reserve their slots by
+    // deciding hasClipbox first (extent from the same point stream as
+    // polys.flatten.flatten)
+    val gextOpt = Extent.ofPoints(polys.iterator.flatMap(_.iterator).flatMap(_.iterator))
+    if (gextOpt.isEmpty) return
+    val gext = gextOpt.get
     val hasClipbox = clipbox.exists(cb => !cb.contains(gext))
-    val segments: IndexedSeq[Seg] =
-      if (hasClipbox) clipbox.get.edges ++ polySegs else polySegs
 
-    // split points per segment, indexed by position (no boxed-Int map);
-    // most segments intersect nothing, so the bucket array stays sparse
-    val ipts = new Array[mutable.ArrayBuffer[Pt]](segments.length)
-    Sweep.findIntersects(segments, connected = true) { (src, dest, pt) =>
+    if (hasClipbox) {
+      val e = clipbox.get.edges
+      var i = 0
+      while (i < e.length) { raw.add(e(i).x1, e(i).y1, e(i).x2, e(i).y2); i += 1 }
+    }
+    var nPolySegs = 0
+    polys.foreach(_.foreach { ring =>
+      if (ring.length >= 3) {
+        var prev = ring.length - 1
+        var ri = 0
+        while (ri < ring.length) {
+          val p = ring(prev); val c = ring(ri)
+          raw.add(p._1, p._2, c._1, c._2)
+          nPolySegs += 1
+          prev = ri; ri += 1
+        }
+      }
+    })
+    if (nPolySegs == 0) return
+
+    // split points per segment, indexed by position (sparse bucket array)
+    val ipts = new Array[mutable.ArrayBuffer[Pt]](raw.n)
+    Sweep.findIntersectsBuf(raw, connected = true) { (src, dest, pt) =>
       if (ipts(src) == null) ipts(src) = mutable.ArrayBuffer.empty
       ipts(src) += pt
       if (ipts(dest) == null) ipts(dest) = mutable.ArrayBuffer.empty
@@ -59,53 +110,88 @@ object MakeValid {
       true
     }
 
-    val nsegs = mutable.ArrayBuffer[Seg]()
+    val nsegs = sc.split
+    nsegs.clear()
+    @inline def keep(ax: Double, ay: Double, bx: Double, by: Double): Unit =
+      if (!hasClipbox || {
+        val cb = clipbox.get
+        cb.containsPoint(ax, ay) && cb.containsPoint(bx, by)
+      }) nsegs.add(ax, ay, bx, by)
+
     var i = 0
-    while (i < segments.length) {
-      val s = segments(i)
+    while (i < raw.n) {
       if (ipts(i) == null) {
-        // common case: endpoints only — a 2-element stable sort is one swap
-        val a = if (Cmp.pointLess(s.p1, s.p2)) s.p1 else s.p2
-        val b = if (Cmp.pointLess(s.p1, s.p2)) s.p2 else s.p1
-        if (!cmp.pointEqual(a, b)) {
-          val nl = Seg(a, b)
-          if (!hasClipbox || clipbox.get.containsSeg(nl)) nsegs += nl
-        }
+        // common case: endpoints only — a 2-element stable sort is one
+        // swap; pointLess/pointEqual decisions unchanged
+        val less =
+          if (raw.x1(i) != raw.x2(i)) raw.x1(i) < raw.x2(i) else raw.y1(i) < raw.y2(i)
+        val ax = if (less) raw.x1(i) else raw.x2(i)
+        val ay = if (less) raw.y1(i) else raw.y2(i)
+        val bx = if (less) raw.x2(i) else raw.x1(i)
+        val by = if (less) raw.y2(i) else raw.y1(i)
+        if (!(cmp.float(ax, bx) && cmp.float(ay, by))) keep(ax, ay, bx, by)
       } else {
-        val pts = (mutable.ArrayBuffer[Pt](s.p1, s.p2) ++= ipts(i))
-          .sortWith(Cmp.pointLess)
+        val pts = (mutable.ArrayBuffer[Pt]((raw.x1(i), raw.y1(i)), (raw.x2(i), raw.y2(i))) ++=
+          ipts(i)).sortWith(Cmp.pointLess)
         var j = 1
         while (j < pts.length) {
-          if (!cmp.pointEqual(pts(j - 1), pts(j))) {
-            val nl = Seg(pts(j - 1), pts(j))
-            if (!hasClipbox || clipbox.get.containsSeg(nl)) nsegs += nl
-          }
+          if (!cmp.pointEqual(pts(j - 1), pts(j)))
+            keep(pts(j - 1)._1, pts(j - 1)._2, pts(j)._1, pts(j)._2)
           j += 1
         }
       }
       i += 1
     }
 
-    // sort + dedupe (reference `unique`, cleanly — the point set downstream
-    // is deduped again anyway). Comparator decisions identical to the
-    // former pointLess/pointEqual-on-tuples form, scalarized.
-    val sorted = nsegs.sortWith { (a, b) =>
-      (if (a.x1 != b.x1) a.x1 < b.x1 else a.y1 < b.y1) ||
-        (cmp.float(a.x1, b.x1) && cmp.float(a.y1, b.y1) &&
-          (if (a.x2 != b.x2) a.x2 < b.x2 else a.y2 < b.y2))
+    // sort + dedupe (reference `unique`). Index sort with an event-index
+    // tiebreak — a total order, so the permutation matches the former
+    // stable sortWith wherever the comparator is consistent (the oracle-
+    // gated fixtures pin the observable behavior).
+    if (sc.order.length < nsegs.n)
+      sc.order = new Array[Int](Integer.highestOneBit(nsegs.n * 2 - 1) << 1)
+    val order = sc.order
+    i = 0
+    while (i < nsegs.n) { order(i) = i; i += 1 }
+    @inline def lt(a: Int, b: Int): Boolean = {
+      val r =
+        (if (nsegs.x1(a) != nsegs.x1(b)) nsegs.x1(a) < nsegs.x1(b)
+         else nsegs.y1(a) < nsegs.y1(b)) ||
+          (cmp.float(nsegs.x1(a), nsegs.x1(b)) && cmp.float(nsegs.y1(a), nsegs.y1(b)) &&
+            (if (nsegs.x2(a) != nsegs.x2(b)) nsegs.x2(a) < nsegs.x2(b)
+             else nsegs.y2(a) < nsegs.y2(b)))
+      if (r) true
+      else {
+        // mirror check for a strict order; fall back to index for ties
+        val rr =
+          (if (nsegs.x1(b) != nsegs.x1(a)) nsegs.x1(b) < nsegs.x1(a)
+           else nsegs.y1(b) < nsegs.y1(a)) ||
+            (cmp.float(nsegs.x1(b), nsegs.x1(a)) && cmp.float(nsegs.y1(b), nsegs.y1(a)) &&
+              (if (nsegs.x2(b) != nsegs.x2(a)) nsegs.x2(b) < nsegs.x2(a)
+               else nsegs.y2(b) < nsegs.y2(a)))
+        if (rr) false else a < b
+      }
     }
-    val out = Vector.newBuilder[Seg]
+    // insertion sort (seg counts are small; stable by construction)
+    i = 1
+    while (i < nsegs.n) {
+      val v = order(i)
+      var j = i - 1
+      while (j >= 0 && lt(v, order(j))) { order(j + 1) = order(j); j -= 1 }
+      order(j + 1) = v
+      i += 1
+    }
+
     var k = 0
-    while (k < sorted.length) {
-      if (k == 0 || {
-        val s = sorted(k); val p = sorted(k - 1)
-        !(cmp.float(s.x1, p.x1) && cmp.float(s.y1, p.y1) &&
-          cmp.float(s.x2, p.x2) && cmp.float(s.y2, p.y2))
-      })
-        out += sorted(k)
+    while (k < nsegs.n) {
+      val cI = order(k)
+      val keepIt = k == 0 || {
+        val pI = order(k - 1)
+        !(cmp.float(nsegs.x1(cI), nsegs.x1(pI)) && cmp.float(nsegs.y1(cI), nsegs.y1(pI)) &&
+          cmp.float(nsegs.x2(cI), nsegs.x2(pI)) && cmp.float(nsegs.y2(cI), nsegs.y2(pI)))
+      }
+      if (keepIt) out.add(nsegs.x1(cI), nsegs.y1(cI), nsegs.x2(cI), nsegs.y2(cI))
       k += 1
     }
-    out.result()
   }
 
   /** reference constrained.go:33-113 Triangles: dedupe points exactly,
@@ -126,11 +212,44 @@ object MakeValid {
     segs.foreach { s =>
       val lnt = math.sqrt(s.lengthSquared)
       if (!Cmp.Default.float(lnt, 0.0)) {
-        val p1 = s.p1; val p2 = s.p2
-        if (seen.add(p1)) pts += p1
-        if (seen.add(p2)) pts += p2
-        constraints += s
+        // tuples only materialized for newly-seen points
+        if (seen.addXY(s.x1, s.y1)) pts += ((s.x1, s.y1))
+        if (seen.addXY(s.x2, s.y2)) pts += ((s.x2, s.y2))
+        if (enableConstraints) constraints += s
       }
+    }
+    if (pts.isEmpty) return Vector.empty
+    Subdivision.forPoints(pts.toIndexedSeq) match {
+      case Some(sd) =>
+        if (enableConstraints) {
+          val vx = SubdivisionConstrained.vertexIndex(sd)
+          constraints.foreach { ct =>
+            // failures are skipped, not fatal (constrained.go:91-94)
+            SubdivisionConstrained.insertConstraint(sd, vx, ct.p1, ct.p2)
+          }
+        }
+        sd.triangles(includeFrame = false)
+      case None => Vector.empty
+    }
+  }
+
+  /** packed-buffer delaunayTriangles — same decisions, array reads. */
+  private def delaunayFromBuf(segs: Scratch.SegBuf): IndexedSeq[(Pt, Pt, Pt)] = {
+    val seen = delaunaySeen.get()
+    seen.clear()
+    val pts = mutable.ArrayBuffer[Pt]()
+    val constraints = if (enableConstraints) mutable.ArrayBuffer[Seg]() else null
+    var i = 0
+    while (i < segs.n) {
+      val dx = segs.x2(i) - segs.x1(i); val dy = segs.y2(i) - segs.y1(i)
+      val lnt = math.sqrt(dx * dx + dy * dy)
+      if (!Cmp.Default.float(lnt, 0.0)) {
+        if (seen.addXY(segs.x1(i), segs.y1(i))) pts += ((segs.x1(i), segs.y1(i)))
+        if (seen.addXY(segs.x2(i), segs.y2(i))) pts += ((segs.x2(i), segs.y2(i)))
+        if (enableConstraints)
+          constraints += Seg(segs.x1(i), segs.y1(i), segs.x2(i), segs.y2(i))
+      }
+      i += 1
     }
     if (pts.isEmpty) return Vector.empty
     Subdivision.forPoints(pts.toIndexedSeq) match {
@@ -150,7 +269,9 @@ object MakeValid {
   /** reference triangulate.go:15-52 InsideTrianglesForSegments. */
   def insideTriangles(segs: IndexedSeq[Seg], hm: PolygonHitmap): IndexedSeq[(Pt, Pt, Pt)] =
     delaunayTriangles(segs).filter { t =>
-      hm.labelInside(Planar.triangleCenter(t._1, t._2, t._3))
+      // triangleCenter computed scalar (same ops, no tuple)
+      hm.labelInsideXY((t._1._1 + t._2._1 + t._3._1) / 3,
+        (t._1._2 + t._2._2 + t._3._2) / 3)
     }
 
   /** reference makevalid.go:167-235 — full repair of a multipolygon.
@@ -159,9 +280,13 @@ object MakeValid {
   def makeValid(polys: IndexedSeq[IndexedSeq[IndexedSeq[Pt]]],
                 clipbox: Option[Extent]): Option[IndexedSeq[IndexedSeq[IndexedSeq[Pt]]]] = {
     val hm = PolygonHitmap(polys)
-    val segs = destructure(clipbox, polys)
-    if (segs.isEmpty) return None
-    val tris = insideTriangles(segs, hm)
+    val segs = mvScratch.get().result
+    destructureBuf(clipbox, polys, segs)
+    if (segs.n == 0) return None
+    val tris = delaunayFromBuf(segs).filter { t =>
+      hm.labelInsideXY((t._1._1 + t._2._1 + t._3._1) / 3,
+        (t._1._2 + t._2._2 + t._3._2) / 3)
+    }
     if (tris.isEmpty) return None
     val mp = Walker.multiPolygon(tris)
     if (mp.isEmpty) None else Some(mp)

@@ -45,16 +45,19 @@ object Mvt {
 
   def preparePolygon(rings: IndexedSeq[IndexedSeq[Pt]], tile: Extent,
                      pixelExtent: Double): IndexedSeq[IndexedSeq[Pt]] = {
-    val p = rings.flatMap { ring =>
-      if (ring.length < 2) None
-      else {
+    val p = Vector.newBuilder[IndexedSeq[Pt]]
+    var i = 0
+    while (i < rings.length) {
+      val ring = rings(i)
+      if (ring.length >= 2) {
         var ln = prepareLineString(ring, tile, pixelExtent)
         if (ln.length >= 2 && Cmp.HiCmp.pointEqual(ln.head, ln.last))
           ln = ln.dropRight(1)
-        if (ln.length < 2) None else Some(ln)
+        if (ln.length >= 2) p += ln
       }
+      i += 1
     }
-    Winding.rectifyPolygon(yPositiveDown = false, p).getOrElse(Vector.empty)
+    Winding.rectifyPolygon(yPositiveDown = false, p.result()).getOrElse(Vector.empty)
   }
 
   /** reference prepare.go:13-70 PrepareGeo dispatch. */
@@ -83,52 +86,93 @@ object Mvt {
   /** reference feature.go:119 — note the 31-bit arithmetic shift. */
   @inline def zigzag(i: Long): Long = ((i << 1) ^ (i >> 31)) & 0xFFFFFFFFL
 
-  private final class Cursor {
-    var x = 0L
-    var y = 0L
-    def delta(px: Long, py: Long): (Long, Long) = {
-      val d = (px - x, py - y)
-      x = px; y = py
-      d
+  /** growable primitive command buffer (ArrayBuffer[Long] boxed every
+    * element — measured hot); pooled per thread, copied out per geometry.
+    */
+  private final class LongBuf {
+    var a = new Array[Long](256)
+    var n = 0
+    def clear(): Unit = n = 0
+    def add(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
     }
+    def result(): IndexedSeq[Long] =
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        java.util.Arrays.copyOf(a, n))
+  }
+
+  private val encodeBuf = new ThreadLocal[LongBuf] {
+    override def initialValue(): LongBuf = new LongBuf
+  }
+
+  /** Winding.ofLongPoints(yDown=true) over the int64-truncated points,
+    * computed inline (identical FP fold, no tuple vector).
+    */
+  private def windingOfTruncatedYDown(pts: IndexedSeq[Pt]): Int = {
+    val n = pts.length
+    if (n < 3) return Winding.Colinear
+    val p0 = pts(0)
+    val p0x = p0._1.toLong.toDouble; val p0y = p0._2.toLong.toDouble
+    var sum = 0.0
+    var li = n - 1
+    var i = 0
+    while (i < n) {
+      val lp = pts(li); val cp = pts(i)
+      val lx = lp._1.toLong.toDouble - p0x; val ly = lp._2.toLong.toDouble - p0y
+      val cx = cp._1.toLong.toDouble - p0x; val cy = cp._2.toLong.toDouble - p0y
+      sum += (lx * cy) - (cx * ly)
+      li = i
+      i += 1
+    }
+    if (sum == 0.0) Winding.Colinear
+    else if (java.lang.Double.doubleToRawLongBits(sum) < 0) Winding.CounterClockwise // −(−1)
+    else Winding.Clockwise // yDown mul = −1
   }
 
   /** geometry → (commands, geomType) where type 1=POINT 2=LINESTRING
     * 3=POLYGON (vector_tile.proto enum).
     */
   def encodeGeometry(g: Geometry): (IndexedSeq[Long], Int) = {
-    val cur = new Cursor
-    val out = new ArrayBuffer[Long]()
+    var curX = 0L
+    var curY = 0L
+    val out = encodeBuf.get()
+    out.clear()
+
+    def emitDelta(px: Long, py: Long): Unit = {
+      out.add(zigzag(px - curX)); out.add(zigzag(py - curY))
+      curX = px; curY = py
+    }
 
     def moveTo(pts: IndexedSeq[Pt]): Unit = {
       if (pts.isEmpty) return
-      out += command(CmdMoveTo, pts.length)
-      pts.foreach { p =>
-        val (dx, dy) = cur.delta(p._1.toLong, p._2.toLong)
-        out += zigzag(dx); out += zigzag(dy)
-      }
+      out.add(command(CmdMoveTo, pts.length))
+      pts.foreach(p => emitDelta(p._1.toLong, p._2.toLong))
     }
     def lineTo(pts: IndexedSeq[Pt]): Unit = {
       if (pts.isEmpty) return
-      out += command(CmdLineTo, pts.length)
-      pts.foreach { p =>
-        val (dx, dy) = cur.delta(p._1.toLong, p._2.toLong)
-        out += zigzag(dx); out += zigzag(dy)
-      }
+      out.add(command(CmdLineTo, pts.length))
+      pts.foreach(p => emitDelta(p._1.toLong, p._2.toLong))
     }
 
-    /** reference feature.go:172-216 encodeLinearRing. */
+    /** reference feature.go:172-216 encodeLinearRing — reversal handled by
+      * iteration direction; deltas/zigzag identical to the materialized
+      * round-2 form.
+      */
     def ring(wo: Int, pts0: IndexedSeq[Pt]): Unit = {
-      var ipts = pts0.map(p => (p._1.toLong, p._2.toLong))
-      val ringWinding = Winding.ofLongPoints(yPositiveDown = true, ipts)
+      val ringWinding = windingOfTruncatedYDown(pts0)
       if (ringWinding == Winding.Colinear) return
-      if (ringWinding != wo) ipts = ipts.reverse
-      val deltas = ipts.map { case (px, py) => cur.delta(px, py) }
-      out += command(CmdMoveTo, 1)
-      out += zigzag(deltas.head._1); out += zigzag(deltas.head._2)
-      out += command(CmdLineTo, deltas.length - 1)
-      deltas.drop(1).foreach { d => out += zigzag(d._1); out += zigzag(d._2) }
-      out += command(CmdClosePath, 1)
+      val rev = ringWinding != wo
+      val n = pts0.length
+      out.add(command(CmdMoveTo, 1))
+      var k = 0
+      while (k < n) {
+        val p = pts0(if (rev) n - 1 - k else k)
+        emitDelta(p._1.toLong, p._2.toLong)
+        if (k == 0) out.add(command(CmdLineTo, n - 1))
+        k += 1
+      }
+      out.add(command(CmdClosePath, 1))
     }
 
     def polygon(rings: IndexedSeq[IndexedSeq[Pt]]): Boolean = {
@@ -155,7 +199,7 @@ object Mvt {
       case GMultiPolygon(mp) => mp.foreach(polygon); 3
       case GCollection(_)    => return (Vector.empty, 0)
     }
-    (out.toIndexedSeq, tpe)
+    (out.result(), tpe)
   }
 
   // ---- decode (reference encoding/mvt/decode.go:86-304) ----

@@ -155,10 +155,7 @@ object QuadEdge {
   /** reference topo.go Connect: resolve b around a.Dest then hook up. */
   def connect(a: Edge, b: Edge, yPositiveDown: Boolean): Edge = {
     if (a == null || b == null) return null
-    val bb = resolveEdge(yPositiveDown, b, a.dest) match {
-      case Right(e)     => e
-      case Left((e, _)) => e // reference ignores the error here
-    }
+    val bb = resolveEdgeOrNull(yPositiveDown, b, a.dest) // reference ignores the error here
     val e = newEdge()
     if (bb != null) e.setEndPoints(a.dest, bb.orig)
     else { e.v = a.dest; e.hasV = true } // degenerate resolve: orig only
@@ -234,8 +231,29 @@ object QuadEdge {
     * reference would return (candidate, error).
     */
   def resolveEdge(yPositiveDown: Boolean, gse: Edge, odest: Pt): Either[(Edge, String), Edge] = {
+    val re = resolveCore(yPositiveDown, gse, odest)
+    if (re == null) Left((null, "invalid end vertex"))
+    else if (re.err != null) Left((re.candidate, re.err))
+    else if (re.candidate != null) Right(re.candidate)
+    else Right(gse) // walked all with Next() everywhere: fall back
+  }
+
+  /** allocation-free resolve for the internal hot callers (connect, locate,
+    * ofFrame), which all use the candidate edge and ignore the error: on a
+    * clean resolve the resolved edge; on an error the candidate (possibly
+    * null); null on the invalid-end-vertex case. Exactly the edge the
+    * Either form carries.
+    */
+  def resolveEdgeOrNull(yPositiveDown: Boolean, gse: Edge, odest: Pt): Edge = {
+    val re = resolveCore(yPositiveDown, gse, odest)
+    if (re == null) null
+    else if (re.err != null || re.candidate != null) re.candidate
+    else gse
+  }
+
+  private def resolveCore(yPositiveDown: Boolean, gse: Edge, odest: Pt): REdge = {
     val orig = gse.orig
-    if (cmp.pointEqual(orig, odest)) return Left((null, "invalid end vertex"))
+    if (cmp.pointEqual(orig, odest)) return null
     val origX = orig._1; val origY = orig._2
     val destX = odest._1 - origX; val destY = odest._2 - origY
     val re = rEdgeScratch.get() // resolveEdge never self-nests
@@ -268,9 +286,7 @@ object QuadEdge {
         if ((e.qe eq gse.qe) || iter > (1 << 20)) walking = false
       }
     }
-    if (re.err != null) Left((re.candidate, re.err))
-    else if (re.candidate != null) Right(re.candidate)
-    else Right(gse) // walked all with Next() everywhere: fall back
+    re
   }
 
   /** reference resolveEdgeYUp (resolve_edge.go:108-157). */

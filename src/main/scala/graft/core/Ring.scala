@@ -16,38 +16,91 @@ import graft.core.Geom._
   *     rings Outside-first then by ascending bbox area; query points are
   *     pre-rounded to a 20-bit mantissa; outside the clip bbox ⇒ Outside.
   */
-final class Ring(val segs: IndexedSeq[Seg], val includeBorder: Boolean, val cmp: Cmp) {
+final class Ring private (n: Int,
+                          x1s: Array[Double], y1s: Array[Double],
+                          x2s: Array[Double], y2s: Array[Double],
+                          val includeBorder: Boolean, val cmp: Cmp) {
+
+  /** segment view (compat; the hot path reads the packed arrays). */
+  def segs: IndexedSeq[Seg] =
+    (0 until n).map(i => Seg(x1s(i), y1s(i), x2s(i), y2s(i)))
 
   val bbox: Extent = {
-    var e = Extent(segs.head.x1, segs.head.y1, segs.head.x1, segs.head.y1)
-    segs.foreach { s =>
-      e = e.addPoint(s.x1, s.y1).addPoint(s.x2, s.y2)
+    var mnx = x1s(0); var mny = y1s(0)
+    var mxx = x1s(0); var mxy = y1s(0)
+    var i = 0
+    while (i < n) {
+      mnx = math.min(math.min(mnx, x1s(i)), x2s(i))
+      mny = math.min(math.min(mny, y1s(i)), y2s(i))
+      mxx = math.max(math.max(mxx, x1s(i)), x2s(i))
+      mxy = math.max(math.max(mxy, y1s(i)), y2s(i))
+      i += 1
     }
-    e
+    Extent(mnx, mny, mxx, mxy)
   }
 
-  /** reference planar/intersect/ring.go:73-154 */
-  def containsPoint(pt: Pt): Boolean = {
-    if (!bbox.containsPoint(pt)) return false
-    val ray = Seg(bbox.minx - 1, pt._2, pt._1, pt._2)
+  /** reference planar/intersect/ring.go:73-154. The per-segment
+    * segmentIntersect + endpoint checks are inlined scalar (identical FP
+    * ops) — the tuple-per-test form was a measured allocation source in
+    * the hitmap labeling loop.
+    */
+  def containsPoint(pt: Pt): Boolean = containsPointXY(pt._1, pt._2)
+
+  def containsPointXY(ptX: Double, ptY: Double): Boolean = {
+    if (!bbox.containsPoint(ptX, ptY)) return false
+    // ray: (bbox.minx - 1, ptY) → (ptX, ptY)
+    val rx1 = bbox.minx - 1; val ry1 = ptY; val rx2 = ptX; val ry2 = ptY
     var count = 0
     var i = 0
-    while (i < segs.length) {
-      val seg = segs(i)
-      if (Planar.areLinesColinear(ray, seg)) {
-        if (seg.bboxContains(pt)) return includeBorder
-        // colinear but not containing: skip
+    while (i < n) {
+      val sx1 = x1s(i); val sy1 = y1s(i); val sx2 = x2s(i); val sy2 = y2s(i)
+      // areLinesColinear(ray, seg) inline
+      val cdenom = ((rx1 - rx2) * (sy1 - sy2)) - ((ry1 - ry2) * (sx1 - sx2))
+      if (cdenom == 0) {
+        val xmin = if (rx1 > rx2) rx2 else rx1; val xmax = if (rx1 > rx2) rx1 else rx2
+        val ymin = if (ry1 > ry2) ry2 else ry1; val ymax = if (ry1 > ry2) ry1 else ry2
+        val colinearContains =
+          (xmin <= sx1 && sx1 <= xmax && ymin <= sy1 && sy1 <= ymax) ||
+            (xmin <= sx2 && sx2 <= xmax && ymin <= sy2 && sy2 <= ymax)
+        if (colinearContains) {
+          // seg.bboxContains(pt) inline
+          val smnx = if (sx1 > sx2) sx2 else sx1; val smxx = if (sx1 > sx2) sx1 else sx2
+          val smny = if (sy1 > sy2) sy2 else sy1; val smxy = if (sy1 > sy2) sy1 else sy2
+          if (smnx <= ptX && ptX <= smxx && smny <= ptY && ptY <= smxy)
+            return includeBorder
+          // colinear but not containing: skip
+        }
+        // (not colinear by bbox test: segmentIntersect's denom==0 counts nothing)
       } else {
-        val (ipt, ok) = Planar.segmentIntersect(ray, seg)
-        if (ok) {
-          if (cmp.pointEqual(ipt, pt)) return includeBorder
-          var skip = false
-          if (cmp.pointEqual(seg.p1, ipt)) {
-            if (seg.y2 > pt._2) skip = true
-          } else if (cmp.pointEqual(seg.p2, ipt)) {
-            if (seg.y1 > pt._2) skip = true
+        // segmentIntersect(ray, seg) inline — same ops, no allocation
+        val deltaX12 = rx1 - rx2
+        val deltaX13 = rx1 - sx1
+        val deltaX34 = sx1 - sx2
+        val deltaY12 = ry1 - ry2
+        val deltaY13 = ry1 - sy1
+        val deltaY34 = sy1 - sy2
+        val denom = (deltaX12 * deltaY34) - (deltaY12 * deltaX34)
+        if (denom != 0) {
+          val cross1 = (rx1 * ry2) - (ry1 * rx2)
+          val cross2 = (sx1 * sy2) - (sy1 * sx2)
+          val xnom = (cross1 * deltaX34) - (deltaX12 * cross2)
+          val ynom = (cross1 * deltaY34) - (deltaY12 * cross2)
+          var bx = xnom / denom
+          var by = ynom / denom
+          if (bx == 0.0) bx = 0.0
+          if (by == 0.0) by = 0.0
+          val t = ((deltaX13 * deltaY34) - (deltaY13 * deltaX34)) / denom
+          val u = -((deltaX12 * deltaY13) - (deltaY12 * deltaX13)) / denom
+          if (u >= 0.0 && u <= 1.0 && t >= 0.0 && t <= 1.0) {
+            if (cmp.float(bx, ptX) && cmp.float(by, ptY)) return includeBorder
+            var skip = false
+            if (cmp.float(sx1, bx) && cmp.float(sy1, by)) {
+              if (sy2 > ptY) skip = true
+            } else if (cmp.float(sx2, bx) && cmp.float(sy2, by)) {
+              if (sy1 > ptY) skip = true
+            }
+            if (!skip) count += 1
           }
-          if (!skip) count += 1
         }
       }
       i += 1
@@ -59,11 +112,25 @@ final class Ring(val segs: IndexedSeq[Seg], val includeBorder: Boolean, val cmp:
 object Ring {
 
   /** reference planar/intersect/ring.go:49-60 NewRingFromPoints — segments
-    * with the closing edge {pts(last), pts(0)} first.
+    * with the closing edge {pts(last), pts(0)} first, packed straight into
+    * primitive arrays (same order as ringSegments).
     */
   def fromPoints(pts: IndexedSeq[Pt], includeBorder: Boolean = false,
-                 cmp: Cmp = Cmp.Default): Ring =
-    new Ring(ringSegments(pts), includeBorder, cmp)
+                 cmp: Cmp = Cmp.Default): Ring = {
+    val n = if (pts.length < 3) 0 else pts.length
+    val x1s = new Array[Double](n); val y1s = new Array[Double](n)
+    val x2s = new Array[Double](n); val y2s = new Array[Double](n)
+    var prev = n - 1
+    var i = 0
+    while (i < n) {
+      val p = pts(prev); val c = pts(i)
+      x1s(i) = p._1; y1s(i) = p._2
+      x2s(i) = c._1; y2s(i) = c._2
+      prev = i
+      i += 1
+    }
+    new Ring(n, x1s, y1s, x2s, y2s, includeBorder, cmp)
+  }
 
   /** Round a double to a 20-bit mantissa, to-nearest-even — emulates the
     * reference's big.NewFloat(x).SetPrec(20).Float64()
@@ -83,6 +150,8 @@ object Ring {
   */
 sealed trait Hitmap {
   def labelInside(pt: Pt): Boolean
+  /** scalar fast path (no tuple); overridden where it matters. */
+  def labelInsideXY(x: Double, y: Double): Boolean = labelInside((x, y))
   def extent: Extent
   def area: Double
 }
@@ -100,12 +169,15 @@ final class PolygonHitmap private (rings: IndexedSeq[(Ring, Boolean)], clipBox: 
   def area: Double = clipBox.area
 
   /** True = Inside. reference LabelFor (polygon_hitmap.go:90-127). */
-  def labelInside(pt0: Pt): Boolean = {
-    val pt = (Ring.roundPrec20(pt0._1), Ring.roundPrec20(pt0._2))
-    if (!clipBox.containsPoint(pt)) return false
+  def labelInside(pt0: Pt): Boolean = labelInsideXY(pt0._1, pt0._2)
+
+  override def labelInsideXY(x0: Double, y0: Double): Boolean = {
+    val x = Ring.roundPrec20(x0)
+    val y = Ring.roundPrec20(y0)
+    if (!clipBox.containsPoint(x, y)) return false
     var i = 0
     while (i < rings.length) {
-      if (rings(i)._1.containsPoint(pt)) return rings(i)._2
+      if (rings(i)._1.containsPointXY(x, y)) return rings(i)._2
       i += 1
     }
     false
@@ -126,9 +198,11 @@ object PolygonHitmap {
     polys.foreach { ply =>
       if (ply.nonEmpty && ply.head.nonEmpty) {
         rings += ((Ring.fromPoints(ply.head, includeBorder = true), true))
-        ply.drop(1).foreach { hole =>
-          if (hole.nonEmpty)
-            rings += ((Ring.fromPoints(hole, includeBorder = false), false))
+        var h = 1
+        while (h < ply.length) {
+          if (ply(h).nonEmpty)
+            rings += ((Ring.fromPoints(ply(h), includeBorder = false), false))
+          h += 1
         }
       }
     }

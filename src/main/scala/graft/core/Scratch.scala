@@ -36,6 +36,31 @@ object Scratch {
     h.toInt
   }
 
+  /** growable packed segment buffer — four primitive arrays instead of a
+    * Seg object per segment (the destructure→sweep→triangulate path is all
+    * coordinate reads; the per-row Seg population was ~30% of remaining
+    * kernel allocation).
+    */
+  final class SegBuf {
+    var x1 = new Array[Double](128)
+    var y1 = new Array[Double](128)
+    var x2 = new Array[Double](128)
+    var y2 = new Array[Double](128)
+    var n = 0
+
+    def clear(): Unit = n = 0
+
+    def add(ax: Double, ay: Double, bx: Double, by: Double): Unit = {
+      if (n == x1.length) {
+        val c = n * 2
+        x1 = java.util.Arrays.copyOf(x1, c); y1 = java.util.Arrays.copyOf(y1, c)
+        x2 = java.util.Arrays.copyOf(x2, c); y2 = java.util.Arrays.copyOf(y2, c)
+      }
+      x1(n) = ax; y1(n) = ay; x2(n) = bx; y2(n) = by
+      n += 1
+    }
+  }
+
   /** open-addressing set of points (bit-equality). */
   final class PtSet(initialCap: Int = 64) {
     private var cap = Integer.highestOneBit(math.max(16, initialCap) * 2 - 1) << 1
@@ -74,6 +99,9 @@ object Scratch {
 
     /** add; returns true when the point was NOT already present. */
     def add(p: Pt): Boolean = addBits(bits(p._1), bits(p._2))
+
+    /** tuple-free add. */
+    def addXY(x: Double, y: Double): Boolean = addBits(bits(x), bits(y))
 
     def contains(p: Pt): Boolean = {
       val xb = bits(p._1); val yb = bits(p._2)

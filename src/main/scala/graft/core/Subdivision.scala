@@ -302,10 +302,8 @@ object Subdivision {
     QuadEdge.splice(eb.sym, ec)
     QuadEdge.splice(ec.sym, ea)
     val center = Planar.triangleCenter(a, b, c)
-    val se = QuadEdge.resolveEdge(yPositiveDown = false, ea, center) match {
-      case Right(e)     => e
-      case Left((e, _)) => if (e != null) e else ea
-    }
+    val se0 = QuadEdge.resolveEdgeOrNull(yPositiveDown = false, ea, center)
+    val se = if (se0 != null) se0 else ea
     new Subdivision(se, (a, b, c))
   }
 
@@ -344,10 +342,8 @@ object Subdivision {
     * fallback keeps the closure form.
     */
   private[core] def locate(se0: Edge, x: Pt, limit: Int): Option[Edge] = {
-    val se = QuadEdge.resolveEdge(yPositiveDown = false, se0, x) match {
-      case Right(e)     => e
-      case Left((e, _)) => if (e != null) e else se0
-    }
+    val seR = QuadEdge.resolveEdgeOrNull(yPositiveDown = false, se0, x)
+    val se = if (seR != null) seR else se0
 
     // returns the next edge; `ok` is signalled by returning the SAME edge
     // (testEdge only reports ok=true with an unchanged edge) — except the

@@ -90,20 +90,38 @@ object Sweep {
     override def initialValue(): SweepScratch = new SweepScratch
   }
 
-  def findIntersects(segments: IndexedSeq[Seg], connected: Boolean)
+  private val packScratch = new ThreadLocal[Scratch.SegBuf] {
+    override def initialValue(): Scratch.SegBuf = new Scratch.SegBuf
+  }
+
+  def findIntersects(segments: scala.collection.IndexedSeq[Seg], connected: Boolean)
                     (fn: (Int, Int, Pt) => Boolean): Unit = {
-    val nSegs = segments.length
+    val buf = packScratch.get()
+    buf.clear()
+    var i = 0
+    while (i < segments.length) {
+      val sg = segments(i)
+      buf.add(sg.x1, sg.y1, sg.x2, sg.y2)
+      i += 1
+    }
+    findIntersectsBuf(buf, connected)(fn)
+  }
+
+  /** core sweep over a packed segment buffer. */
+  def findIntersectsBuf(segs: Scratch.SegBuf, connected: Boolean)
+                       (fn: (Int, Int, Pt) => Boolean): Unit = {
+    val nSegs = segs.n
+    val sx1 = segs.x1; val sy1 = segs.y1; val sx2 = segs.x2; val sy2 = segs.y2
     val nEv = nSegs * 2
     val s = scratch.get()
     s.ensure(nEv, nSegs)
 
     var i = 0
     while (i < nSegs) {
-      val sg = segments(i)
-      val leftFirst = sg.x1 < sg.x2 || (sg.x1 == sg.x2 && sg.y1 < sg.y2)
+      val leftFirst = sx1(i) < sx2(i) || (sx1(i) == sx2(i) && sy1(i) < sy2(i))
       val a = 2 * i; val b = 2 * i + 1
-      s.edge(a) = i; s.left(a) = leftFirst; s.ex(a) = sg.x1; s.ey(a) = sg.y1
-      s.edge(b) = i; s.left(b) = !leftFirst; s.ex(b) = sg.x2; s.ey(b) = sg.y2
+      s.edge(a) = i; s.left(a) = leftFirst; s.ex(a) = sx1(i); s.ey(a) = sy1(i)
+      s.edge(b) = i; s.left(b) = !leftFirst; s.ex(b) = sx2(i); s.ey(b) = sy2(i)
       s.order(a) = a; s.order(b) = b
       i += 1
     }
@@ -117,7 +135,6 @@ object Sweep {
       if (s.left(ev)) s.bitmap(e >> 6) |= (1L << (e & 63))
       else {
         s.bitmap(e >> 6) &= ~(1L << (e & 63))
-        val seg = segments(e)
         val words = (nSegs >> 6) + 1
         var w = 0
         while (w < words) {
@@ -125,20 +142,40 @@ object Sweep {
           while (bitsW != 0) {
             val other = (w << 6) + java.lang.Long.numberOfTrailingZeros(bitsW)
             bitsW &= bitsW - 1
-            val seg1 = segments(other)
             // scalar endpoint-match (the Seg.p1/p2 tuples were measured hot)
             val skip = connected && {
               val matchStart =
-                (cmp.float(seg.x1, seg1.x1) && cmp.float(seg.y1, seg1.y1)) ||
-                  (cmp.float(seg.x1, seg1.x2) && cmp.float(seg.y1, seg1.y2))
+                (cmp.float(sx1(e), sx1(other)) && cmp.float(sy1(e), sy1(other))) ||
+                  (cmp.float(sx1(e), sx2(other)) && cmp.float(sy1(e), sy2(other)))
               val matchEnd =
-                (cmp.float(seg.x2, seg1.x1) && cmp.float(seg.y2, seg1.y1)) ||
-                  (cmp.float(seg.x2, seg1.x2) && cmp.float(seg.y2, seg1.y2))
+                (cmp.float(sx2(e), sx1(other)) && cmp.float(sy2(e), sy1(other))) ||
+                  (cmp.float(sx2(e), sx2(other)) && cmp.float(sy2(e), sy2(other)))
               matchStart || matchEnd
             }
             if (!skip) {
-              val ipt = Planar.segmentIntersectOrNull(seg, seg1)
-              if (ipt != null && !fn(e, other, ipt)) return
+              // segmentIntersectOrNull(seg(e), seg(other)) inline over arrays
+              val deltaX12 = sx1(e) - sx2(e)
+              val deltaX13 = sx1(e) - sx1(other)
+              val deltaX34 = sx1(other) - sx2(other)
+              val deltaY12 = sy1(e) - sy2(e)
+              val deltaY13 = sy1(e) - sy1(other)
+              val deltaY34 = sy1(other) - sy2(other)
+              val denom = (deltaX12 * deltaY34) - (deltaY12 * deltaX34)
+              if (denom != 0) {
+                val t = ((deltaX13 * deltaY34) - (deltaY13 * deltaX34)) / denom
+                val u = -((deltaX12 * deltaY13) - (deltaY12 * deltaX13)) / denom
+                if (u >= 0.0 && u <= 1.0 && t >= 0.0 && t <= 1.0) {
+                  val cross1 = (sx1(e) * sy2(e)) - (sy1(e) * sx2(e))
+                  val cross2 = (sx1(other) * sy2(other)) - (sy1(other) * sx2(other))
+                  val xnom = (cross1 * deltaX34) - (deltaX12 * cross2)
+                  val ynom = (cross1 * deltaY34) - (deltaY12 * cross2)
+                  var bx = xnom / denom
+                  var by = ynom / denom
+                  if (bx == 0.0) bx = 0.0
+                  if (by == 0.0) by = 0.0
+                  if (!fn(e, other, (bx, by))) return
+                }
+              }
             }
           }
           w += 1

@@ -7,6 +7,14 @@ import scala.collection.mutable
   * {walker,cut}.go): shared-edge map keyed by exact sorted vertex pairs,
   * DFS ring walk per unseen triangle, bridge removal / sliver cutting,
   * winding rectification (exterior CW, holes CCW). Comparator: HiCMP.
+  *
+  * Round-3 allocation rework: the shared-edge map is a pooled open-
+  * addressing table keyed on the four coordinate bit patterns (canonical
+  * zero — the same key equality the former HashMap[(Pt, Pt)] gave via
+  * numeric ==) with FIFO triangle lists in parallel int arrays (insertion
+  * order preserved — which triangle is picked when an edge is shared
+  * depends on it); `seen` is a Boolean array; the per-walk index stack is
+  * a primitive int buffer. Ring/cut/polygon logic is unchanged.
   */
 object Walker {
 
@@ -17,17 +25,138 @@ object Walker {
     override def initialValue(): Scratch.PtIntMap = new Scratch.PtIntMap(256)
   }
 
-  private def sortedEdge(p1: Pt, p2: Pt): (Pt, Pt) =
-    if (Cmp.pointLess(p1, p2)) (p1, p2) else (p2, p1)
+  @inline private def bits(d: Double): Long =
+    if (d == 0.0) 0L else java.lang.Double.doubleToLongBits(d)
 
-  private def sortedEdges(t: Tri): Seq[(Pt, Pt)] =
-    Seq(sortedEdge(t._1, t._2), sortedEdge(t._1, t._3), sortedEdge(t._2, t._3))
-
-  /** reference triangle.go:46-57 ThirdPoint (exact equality as in Go's
-    * pointEqual on [2]float64 — wait, Go uses cmp.GeomPointEqual? It uses
-    * package geom's pointEqual = exact? geom.Triangle.ThirdPoint uses
-    * pointEqual helper in geom pkg (tolerance 1e-9).
+  /** pooled shared-edge map: sorted (p1, p2) → FIFO list of triangle
+    * indices.
     */
+  private final class EdgeTriMap {
+    private var cap = 256
+    private var kx1 = new Array[Long](cap); private var ky1 = new Array[Long](cap)
+    private var kx2 = new Array[Long](cap); private var ky2 = new Array[Long](cap)
+    private var head = new Array[Int](cap); private var tail = new Array[Int](cap)
+    private var used = new Array[Boolean](cap)
+    private var n = 0
+    private var nodeTri = new Array[Int](256)
+    private var nodeNext = new Array[Int](256)
+    private var nNodes = 0
+
+    def clear(): Unit = {
+      if (n > 0) java.util.Arrays.fill(used, false)
+      n = 0; nNodes = 0
+    }
+
+    @inline private def hash(a: Long, b: Long, c: Long, d: Long): Int = {
+      var h = a * 0x9E3779B97F4A7C15L + b
+      h = h * 0xBF58476D1CE4E5B9L + c
+      h = h * 0x94D049BB133111EBL + d
+      h ^= (h >>> 32)
+      h.toInt
+    }
+
+    private def slotOf(a: Long, b: Long, c: Long, d: Long): Int = {
+      var i = hash(a, b, c, d) & (cap - 1)
+      while (used(i)) {
+        if (kx1(i) == a && ky1(i) == b && kx2(i) == c && ky2(i) == d) return i
+        i = (i + 1) & (cap - 1)
+      }
+      i // first free slot
+    }
+
+    private def grow(): Unit = {
+      val ok1 = kx1; val ok2 = ky1; val ok3 = kx2; val ok4 = ky2
+      val oh = head; val ot = tail; val ou = used
+      cap <<= 1
+      kx1 = new Array[Long](cap); ky1 = new Array[Long](cap)
+      kx2 = new Array[Long](cap); ky2 = new Array[Long](cap)
+      head = new Array[Int](cap); tail = new Array[Int](cap)
+      used = new Array[Boolean](cap)
+      var i = 0
+      while (i < ou.length) {
+        if (ou(i)) {
+          val s = slotOf(ok1(i), ok2(i), ok3(i), ok4(i))
+          used(s) = true
+          kx1(s) = ok1(i); ky1(s) = ok2(i); kx2(s) = ok3(i); ky2(s) = ok4(i)
+          head(s) = oh(i); tail(s) = ot(i)
+        }
+        i += 1
+      }
+    }
+
+    /** append triangle `tri` to the FIFO list of the canonical edge
+      * (p1x,p1y)-(p2x,p2y) (callers pass the sorted order).
+      */
+    def add(p1x: Double, p1y: Double, p2x: Double, p2y: Double, tri: Int): Unit = {
+      if (nNodes == nodeTri.length) {
+        nodeTri = java.util.Arrays.copyOf(nodeTri, nNodes * 2)
+        nodeNext = java.util.Arrays.copyOf(nodeNext, nNodes * 2)
+      }
+      val node = nNodes
+      nodeTri(node) = tri; nodeNext(node) = -1
+      nNodes += 1
+      val a = bits(p1x); val b = bits(p1y); val c = bits(p2x); val d = bits(p2y)
+      val s = slotOf(a, b, c, d)
+      if (!used(s)) {
+        used(s) = true
+        kx1(s) = a; ky1(s) = b; kx2(s) = c; ky2(s) = d
+        head(s) = node; tail(s) = node
+        n += 1
+        if (n * 2 > cap) grow()
+      } else {
+        nodeNext(tail(s)) = node
+        tail(s) = node
+      }
+    }
+
+    /** first triangle on the edge list (insertion order) that is neither
+      * seen nor `defaultIdx`; −1 when none.
+      */
+    def firstUnseen(p1x: Double, p1y: Double, p2x: Double, p2y: Double,
+                    defaultIdx: Int, seen: Array[Boolean]): Int = {
+      val a = bits(p1x); val b = bits(p1y); val c = bits(p2x); val d = bits(p2y)
+      val s = slotOf(a, b, c, d)
+      if (!used(s)) return -1
+      var node = head(s)
+      while (node >= 0) {
+        val t = nodeTri(node)
+        if (!seen(t) && t != defaultIdx) return t
+        node = nodeNext(node)
+      }
+      -1
+    }
+  }
+
+  private val edgeMapScratch = new ThreadLocal[EdgeTriMap] {
+    override def initialValue(): EdgeTriMap = new EdgeTriMap
+  }
+
+  /** growable primitive int stack (ArrayBuffer[Int] boxes). */
+  private final class IntBuf {
+    var a = new Array[Int](64)
+    var n = 0
+    def clear(): Unit = n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def last: Int = a(n - 1)
+    def setLast(v: Int): Unit = a(n - 1) = v
+    def removeLast(): Unit = n -= 1
+    def isEmpty: Boolean = n == 0
+    def indexOf(v: Int): Int = {
+      var i = 0
+      while (i < n) { if (a(i) == v) return i; i += 1 }
+      -1
+    }
+    def truncate(len: Int): Unit = n = len
+  }
+
+  private val cidxsScratch = new ThreadLocal[IntBuf] {
+    override def initialValue(): IntBuf = new IntBuf
+  }
+
+  /** reference triangle.go:46-57 ThirdPoint (HiCMP equality). */
   private def thirdPoint(t: Tri, p1: Pt, p2: Pt): Pt = {
     def eq(a: Pt, b: Pt) = cmp.pointEqual(a, b)
     if ((eq(t._1, p1) && eq(t._2, p2)) || (eq(t._2, p1) && eq(t._1, p2))) t._3
@@ -35,19 +164,28 @@ object Walker {
     else t._1
   }
 
+  /** register triangle `i`'s three edges in canonical (pointLess) order. */
+  private def addEdges(m: EdgeTriMap, t: Tri, i: Int): Unit = {
+    @inline def put(p: Pt, q: Pt): Unit =
+      if (Cmp.pointLess(p, q)) m.add(p._1, p._2, q._1, q._2, i)
+      else m.add(q._1, q._2, p._1, p._2, i)
+    put(t._1, t._2); put(t._1, t._3); put(t._2, t._3)
+  }
+
   def multiPolygon(triangles: IndexedSeq[Tri]): IndexedSeq[IndexedSeq[IndexedSeq[Pt]]] = {
-    val edgeMap = mutable.HashMap[(Pt, Pt), mutable.ArrayBuffer[Int]]()
-    triangles.zipWithIndex.foreach { case (t, i) =>
-      sortedEdges(t).foreach { e =>
-        edgeMap.getOrElseUpdate(e, mutable.ArrayBuffer.empty) += i
-      }
-    }
-    val seen = mutable.HashSet[Int]()
-    val out = Vector.newBuilder[IndexedSeq[IndexedSeq[Pt]]]
+    val edgeMap = edgeMapScratch.get()
+    edgeMap.clear()
     var i = 0
     while (i < triangles.length) {
-      if (!seen.contains(i)) {
-        seen += i
+      addEdges(edgeMap, triangles(i), i)
+      i += 1
+    }
+    val seen = new Array[Boolean](triangles.length)
+    val out = Vector.newBuilder[IndexedSeq[IndexedSeq[Pt]]]
+    i = 0
+    while (i < triangles.length) {
+      if (!seen(i)) {
+        seen(i) = true
         val rng = ringForTriangle(triangles, edgeMap, i, seen)
         val plyg4r = polygonForRing(rng)
         Winding.rectifyPolygon(plyg4r.map(_.toIndexedSeq)) match {
@@ -60,40 +198,34 @@ object Walker {
     out.result()
   }
 
-  private def indexForEdge(edgeMap: mutable.HashMap[(Pt, Pt), mutable.ArrayBuffer[Int]],
-                           p1: Pt, p2: Pt, defaultIdx: Int,
-                           seen: mutable.HashSet[Int]): (Int, Boolean) = {
-    edgeMap.get(sortedEdge(p1, p2)) match {
-      case Some(idxs) =>
-        val it = idxs.iterator
-        while (it.hasNext) {
-          val idx = it.next()
-          if (!seen.contains(idx) && idx != defaultIdx) return (idx, true)
-        }
-        (defaultIdx, false)
-      case None => (defaultIdx, false)
-    }
-  }
+  /** canonical-order lookup (mirrors the former sortedEdge key build). */
+  private def firstUnseenEdge(edgeMap: EdgeTriMap, p1: Pt, p2: Pt,
+                              defaultIdx: Int, seen: Array[Boolean]): Int =
+    if (Cmp.pointLess(p1, p2))
+      edgeMap.firstUnseen(p1._1, p1._2, p2._1, p2._2, defaultIdx, seen)
+    else
+      edgeMap.firstUnseen(p2._1, p2._2, p1._1, p1._2, defaultIdx, seen)
 
   /** reference walker.go:117-200 RingForTriangle. */
-  def ringForTriangle(triangles: IndexedSeq[Tri],
-                      edgeMap: mutable.HashMap[(Pt, Pt), mutable.ArrayBuffer[Int]],
-                      idx: Int, seen: mutable.HashSet[Int]): mutable.ArrayBuffer[Pt] = {
-    seen += idx
+  private def ringForTriangle(triangles: IndexedSeq[Tri], edgeMap: EdgeTriMap,
+                              idx: Int, seen: Array[Boolean]): mutable.ArrayBuffer[Pt] = {
+    seen(idx) = true
     var headIdx = 0
     val rng = mutable.ArrayBuffer[Pt](triangles(idx)._1, triangles(idx)._2, triangles(idx)._3)
-    var cidxs = mutable.ArrayBuffer[Int](idx, idx, idx)
+    val cidxs = cidxsScratch.get()
+    cidxs.clear()
+    cidxs.add(idx); cidxs.add(idx); cidxs.add(idx)
 
     while (true) {
       if (headIdx >= rng.length || cidxs.isEmpty) return rng
 
-      val (cidx, ok) = indexForEdge(edgeMap, rng.head, rng.last, cidxs.last, seen)
-      if (!ok) {
+      val cidx = firstUnseenEdge(edgeMap, rng.head, rng.last, cidxs.last, seen)
+      if (cidx < 0) {
         // rotate: move last point to front
         headIdx += 1
         val lpt = rng.remove(rng.length - 1)
         rng.insert(0, lpt)
-        cidxs.remove(cidxs.length - 1)
+        cidxs.removeLast()
       } else if (cidx == idx) {
         return rng
       } else {
@@ -108,12 +240,12 @@ object Walker {
           rng.clear()
           rng ++= tpts ++= head
           headIdx += tlen
-          cidxs = cidxs.take(prevI + 1)
+          cidxs.truncate(prevI + 1)
         } else {
           rng += thirdPoint(triangles(cidx), rng.head, rng.last)
-          cidxs(cidxs.length - 1) = cidx
-          cidxs += cidx
-          seen += cidx
+          cidxs.setLast(cidx)
+          cidxs.add(cidx)
+          seen(cidx) = true
         }
       }
     }
@@ -162,10 +294,38 @@ object Walker {
     nrng
   }
 
+  /** rotateToLeftMostPoint(buf.toIndexedSeq) without the intermediate
+    * immutable copy — one output allocation (same least-point choice:
+    * first strict-least index wins).
+    */
+  private def rotatedSeq(buf: mutable.ArrayBuffer[Pt]): IndexedSeq[Pt] = {
+    val n = buf.length
+    if (n == 0) return Vector.empty
+    var li = 0
+    var i = 1
+    while (i < n) { if (Cmp.pointLess(buf(i), buf(li))) li = i; i += 1 }
+    val arr = new Array[Pt](n)
+    var k = 0
+    while (k < n) { arr(k) = buf(if (li + k < n) li + k else li + k - n); k += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+  }
+
+  private def rotatedBuf(buf: mutable.ArrayBuffer[Pt]): mutable.ArrayBuffer[Pt] = {
+    val n = buf.length
+    val out = new mutable.ArrayBuffer[Pt](n)
+    if (n == 0) return out
+    var li = 0
+    var i = 1
+    while (i < n) { if (Cmp.pointLess(buf(i), buf(li))) li = i; i += 1 }
+    var k = 0
+    while (k < n) { out += buf(if (li + k < n) li + k else li + k - n); k += 1 }
+    out
+  }
+
   /** reference walker.go:204-320 PolygonForRing: bubble/sliver cutting. */
   def polygonForRing(rng0: mutable.ArrayBuffer[Pt]): IndexedSeq[IndexedSeq[Pt]] = {
     if (rng0.length <= 2) return Vector.empty
-    val rng = mutable.ArrayBuffer[Pt]() ++= Cmp.rotateToLeftMostPoint(rng0.toIndexedSeq)
+    val rng = rotatedBuf(rng0)
 
     def pIdx(i: Int): Int = if (i == 0) rng.length - 1 else i - 1
     def nIdx(i: Int): Int = if (i == rng.length - 1) 0 else i + 1
@@ -194,14 +354,14 @@ object Walker {
             var sliver = cut(rng, pidx, nidx)
             sliver = sliver.drop(2)
             if (sliver.length >= 3) {
-              plyg += Cmp.rotateToLeftMostPoint(sliver.toIndexedSeq)
+              plyg += rotatedSeq(sliver)
             }
             i = if (idx - 1 < 0) 0 else idx - 1
           } else {
             val removeB = Planar.isPointOnLine(cmp, rng(i), rng(pidx), rng(nidx))
             val sliver = removeBridge(cut(rng, idx, i))
             if (sliver.length >= 3) {
-              plyg += Cmp.rotateToLeftMostPoint(sliver.toIndexedSeq)
+              plyg += rotatedSeq(sliver)
             }
             i = idx
             if (removeB) {
@@ -215,7 +375,7 @@ object Walker {
     }
 
     if (rng.length <= 2) return Vector.empty
-    plyg(0) = Cmp.rotateToLeftMostPoint(rng.toIndexedSeq)
+    plyg(0) = rotatedSeq(rng)
     plyg.toIndexedSeq
   }
 }

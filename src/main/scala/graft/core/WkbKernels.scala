@@ -47,7 +47,7 @@ object WkbKernels {
       cache.put(key, hm)
     }
     hm match {
-      case p: PolygonHitmap => java.lang.Boolean.valueOf(p.labelInside((x, y)))
+      case p: PolygonHitmap => java.lang.Boolean.valueOf(p.labelInsideXY(x, y))
       case _                => null
     }
   }

@@ -57,6 +57,15 @@ object PerfScratch2 {
     var i = 0L; var acc = 0L
     while (i < 60000) { acc += chain(i); i += 1 }
     println(s"warm acc=$acc")
+    // drift-free progress metric: exact allocated bytes per row
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    val a0 = tmx.getThreadAllocatedBytes(tid)
+    i = 0
+    while (i < 60000) { acc += chain(i); i += 1 }
+    val a1 = tmx.getThreadAllocatedBytes(tid)
+    println(f"alloc/row = ${(a1 - a0) / 60000.0}%.0f bytes")
     for (_ <- 1 to reps; t <- Seq(1, 8, 32)) {
       val rows = total / t
       val sec = runThreads(t, rows)
