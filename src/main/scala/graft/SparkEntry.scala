@@ -524,6 +524,37 @@ object SparkEntry {
         .select(st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"),
           col("py").cast("long").as("py"), col("px0").cast("long").as("px0"),
           col("px1").cast("long").as("px1"), col("n_pts"))
+    }),
+
+    "q43_mvt_tile_bytes" -> ((s, dir) => {
+      // the FINISHED sink artifact: q33's composed flow (makevalid repair)
+      // fed through the real MVT tile sink — envelope tile assignment,
+      // per-feature command encode, deterministic (cell, fid)-sorted
+      // streaming layer/tile protobuf assembly. Gated on the actual
+      // protobuf BYTES per tile (rolling hash + length); the oracle
+      // predicts every byte incl. varint framing and key/value tables
+      // (encoding/mvt/layer.go:15-131, tile.go:45-63).
+      import s.implicits._
+      // the synthetic lineitem carries duplicate (orderkey, linenumber)
+      // rows -> duplicate pids; identical duplicates collapse (the sink
+      // joins on pid, which would cross-multiply them)
+      val fixed = q33Input(s, dir)
+        .withColumn("geom", st_makevalid(col("geom"),
+          lit(Double.NaN), lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)))
+        .select(col("pid"), col("geom"))
+        .dropDuplicates("pid")
+      graft.operators.Tiler.mvtTiles(s, fixed, "pid", 9, "features", srid = 3857)
+        .select(col("x"), col("y"), col("mvt"))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (x, y, b) =>
+          var acc = 0L
+          var i = 0
+          while (i < b.length) {
+            acc = (acc * 31 + (b(i) & 0xFF)) % 1000000000000007L
+            i += 1
+          }
+          (x, y, b.length.toLong, acc)
+        }.toDF("x", "y", "n_bytes", "bhash")
     })
   )
 
@@ -533,6 +564,50 @@ object SparkEntry {
 
   private val P = Synth.pointsCte
   private val R = Synth.regionsCte
+
+  /** q33's composed cmd/main.go pipeline CTEs — tile extents (3857), the
+    * synthetic box/bow-tie features, the bow-tie diagonal intersection,
+    * mm-rounded makevalid vertices, pixel projection, and the final MVT
+    * command stream per feature (`cm`: pid, tx, ty, cmds). Shared by the
+    * q33 command-stream oracle and the q43 tile-bytes oracle.
+    */
+  private val q33CmdsCtes: String = {
+    def zz(v: String) = s"(CASE WHEN ($v) >= 0 THEN 2 * ($v) ELSE (-2 * ($v)) - 1 END)"
+    def y2deg(ty: String) =
+      s"((180.0 / pi()) * atan(0.5 * (exp(pi() - (((2.0 * pi()) * CAST($ty AS DOUBLE)) / 512.0)) - " +
+      s"exp(-(pi() - (((2.0 * pi()) * CAST($ty AS DOUBLE)) / 512.0))))))"
+    def mercX(lon: String) = s"(6378137.0 * ((($lon) * pi()) / 180))"
+    def mercY(lat: String) = s"(6378137.0 * ln(tan((pi() / 4) + ((($lat) * pi()) / 180) / 2)))"
+    def x2deg(tx: String) = s"(((CAST($tx AS DOUBLE) / 512.0) * 360.0) - 180.0)"
+    // pixel projection of an mm-rounded coordinate
+    def pxOf(x: String) = s"CAST(trunc(((($x) - tminx) / xs) * 4096.0) AS BIGINT)"
+    def pyOf(y: String) = s"CAST(trunc(((tmaxy - ($y)) / ys) * 4096.0) AS BIGINT)"
+    def mm(v: String) = s"(round(($v) * 1000) / 1000.0)"
+    (s"WITH $P, b0 AS (SELECT pid, (pid * 7) % 512 AS tx, (pid % 312) + 100 AS ty FROM pts), " +
+    s"t0 AS (SELECT pid, tx, ty, ${mercX(x2deg("tx"))} AS tminx, ${mercX(x2deg("tx + 1"))} AS tmaxx, " +
+    s"${mercY(y2deg("ty + 1"))} AS tminy, ${mercY(y2deg("ty"))} AS tmaxy FROM b0), " +
+    "t1 AS (SELECT pid, tx, ty, tminx, tminy, tmaxx, tmaxy, tmaxx - tminx AS xs, tmaxy - tminy AS ys FROM t0), " +
+    "g0 AS (SELECT pid, tx, ty, tminx, tmaxy, xs, ys, " +
+    "tminx + (((pid % 8) * 0.05) + 0.1) * xs AS gl, " +
+    "tminy + (((pid % 9) * 0.05) + 0.1) * ys AS gt FROM t1), " +
+    "g1 AS (SELECT pid, tx, ty, tminx, tmaxy, xs, ys, gl, gt, " +
+    "gl + (((pid % 4) * 0.05) + 0.25) * xs AS ga, " +
+    "gt + (((pid % 6) * 0.04) + 0.25) * ys AS gb FROM g0), " +
+    // bow-tie diagonal intersection (segmentIntersect(l1=(A,T)->(L,B), l2=(L,T)->(A,B)))
+    "g2 AS (SELECT *, ((ga * gb) - (gt * gl)) AS cross1, ((gl * gb) - (gt * ga)) AS cross2 FROM g1), " +
+    "g3 AS (SELECT *, " +
+    "((cross1 * (gl - ga)) - ((ga - gl) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS bx, " +
+    "((cross1 * (gt - gb)) - ((gt - gb) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS by " +
+    "FROM g2), " +
+    // pixel coordinates of the mm-rounded makevalid vertices
+    s"px AS (SELECT pid, tx, ty, ${pxOf(mm("gl"))} AS pl, ${pxOf(mm("ga"))} AS pa, ${pxOf(mm("bx"))} AS pc, " +
+    s"${pyOf(mm("gt"))} AS qt, ${pyOf(mm("gb"))} AS qb, ${pyOf(mm("by"))} AS qc FROM g3), " +
+    "cm AS (SELECT pid, tx, ty, CASE WHEN pid % 2 = 0 THEN " +
+    s"[9, ${zz("pl")}, ${zz("qb")}, 26, ${zz("pa - pl")}, ${zz("qb - qb")}, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pl - pa")}, ${zz("qt - qt")}, 15] " +
+    "ELSE " +
+    s"[9, ${zz("pa")}, ${zz("qb")}, 18, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pc - pa")}, ${zz("qc - qt")}, 15, " +
+    s"9, ${zz("pl - pc")}, ${zz("qb - qc")}, 18, ${zz("pc - pl")}, ${zz("qc - qb")}, ${zz("pl - pc")}, ${zz("qt - qc")}, 15] END AS cmds FROM px)")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_tile_assign" ->
@@ -722,45 +797,53 @@ object SparkEntry {
     // y-down winding enforcement cancel, so rings encode in makevalid
     // output vertex order: box (L,B),(A,B),(A,T),(L,T); bow-tie
     // [(A,B),(A,T),C] then [(L,B),C,(L,T)] with the cursor carrying over)
-    "q33_pipeline" -> {
-      def zz(v: String) = s"(CASE WHEN ($v) >= 0 THEN 2 * ($v) ELSE (-2 * ($v)) - 1 END)"
-      def y2deg(ty: String) =
-        s"((180.0 / pi()) * atan(0.5 * (exp(pi() - (((2.0 * pi()) * CAST($ty AS DOUBLE)) / 512.0)) - " +
-        s"exp(-(pi() - (((2.0 * pi()) * CAST($ty AS DOUBLE)) / 512.0))))))"
-      def mercX(lon: String) = s"(6378137.0 * ((($lon) * pi()) / 180))"
-      def mercY(lat: String) = s"(6378137.0 * ln(tan((pi() / 4) + ((($lat) * pi()) / 180) / 2)))"
-      def x2deg(tx: String) = s"(((CAST($tx AS DOUBLE) / 512.0) * 360.0) - 180.0)"
-      // pixel projection of an mm-rounded coordinate
-      def pxOf(x: String) = s"CAST(trunc(((($x) - tminx) / xs) * 4096.0) AS BIGINT)"
-      def pyOf(y: String) = s"CAST(trunc(((tmaxy - ($y)) / ys) * 4096.0) AS BIGINT)"
-      def mm(v: String) = s"(round(($v) * 1000) / 1000.0)"
-      (s"WITH $P, b0 AS (SELECT pid, (pid * 7) % 512 AS tx, (pid % 312) + 100 AS ty FROM pts), " +
-      s"t0 AS (SELECT pid, ${mercX(x2deg("tx"))} AS tminx, ${mercX(x2deg("tx + 1"))} AS tmaxx, " +
-      s"${mercY(y2deg("ty + 1"))} AS tminy, ${mercY(y2deg("ty"))} AS tmaxy FROM b0), " +
-      "t1 AS (SELECT pid, tminx, tminy, tmaxx, tmaxy, tmaxx - tminx AS xs, tmaxy - tminy AS ys FROM t0), " +
-      "g0 AS (SELECT pid, tminx, tmaxy, xs, ys, " +
-      "tminx + (((pid % 8) * 0.05) + 0.1) * xs AS gl, " +
-      "tminy + (((pid % 9) * 0.05) + 0.1) * ys AS gt FROM t1), " +
-      "g1 AS (SELECT pid, tminx, tmaxy, xs, ys, gl, gt, " +
-      "gl + (((pid % 4) * 0.05) + 0.25) * xs AS ga, " +
-      "gt + (((pid % 6) * 0.04) + 0.25) * ys AS gb FROM g0), " +
-      // bow-tie diagonal intersection (segmentIntersect(l1=(A,T)->(L,B), l2=(L,T)->(A,B)))
-      "g2 AS (SELECT *, ((ga * gb) - (gt * gl)) AS cross1, ((gl * gb) - (gt * ga)) AS cross2 FROM g1), " +
-      "g3 AS (SELECT *, " +
-      "((cross1 * (gl - ga)) - ((ga - gl) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS bx, " +
-      "((cross1 * (gt - gb)) - ((gt - gb) * cross2)) / (((ga - gl) * (gt - gb)) - ((gt - gb) * (gl - ga))) AS by " +
-      "FROM g2), " +
-      // pixel coordinates of the mm-rounded makevalid vertices
-      s"px AS (SELECT pid, ${pxOf(mm("gl"))} AS pl, ${pxOf(mm("ga"))} AS pa, ${pxOf(mm("bx"))} AS pc, " +
-      s"${pyOf(mm("gt"))} AS qt, ${pyOf(mm("gb"))} AS qb, ${pyOf(mm("by"))} AS qc FROM g3), " +
-      "cm AS (SELECT pid, CASE WHEN pid % 2 = 0 THEN " +
-      s"[9, ${zz("pl")}, ${zz("qb")}, 26, ${zz("pa - pl")}, ${zz("qb - qb")}, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pl - pa")}, ${zz("qt - qt")}, 15] " +
-      "ELSE " +
-      s"[9, ${zz("pa")}, ${zz("qb")}, 18, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pc - pa")}, ${zz("qc - qt")}, 15, " +
-      s"9, ${zz("pl - pc")}, ${zz("qb - qc")}, 18, ${zz("pc - pl")}, ${zz("qc - qb")}, ${zz("pl - pc")}, ${zz("qt - qc")}, 15] END AS cmds FROM px) " +
-      "SELECT pid, 3 AS mvt_type, CAST(len(cmds) AS BIGINT) AS n_cmds, " +
+    "q33_pipeline" -> (q33CmdsCtes +
+      " SELECT pid, 3 AS mvt_type, CAST(len(cmds) AS BIGINT) AS n_cmds, " +
       "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(cmds, c -> CAST(c AS BIGINT))), " +
-      "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT) AS chash FROM cm")
+      "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT) AS chash FROM cm"),
+
+    // the FINISHED MVT tile bytes: q33's commands (shared CTEs) assembled
+    // into the layer/tile protobuf exactly as MvtTile.encodeLayerStream
+    // writes it — feature framing, packed-varint geometry, the "fid"
+    // key/value tables in first-appearance order, varint length prefixes —
+    // grouped per tile in fid-string order (the sink's sort order) and
+    // rolled into a byte hash (encoding/mvt/layer.go:15-131, tile.go:45-63)
+    "q43_mvt_tile_bytes" -> {
+      // varint → byte list (values here are < 2^35)
+      def vb(v: String) = s"(CASE WHEN ($v) < 128 THEN [($v)] " +
+        s"WHEN ($v) < 16384 THEN [(($v) % 128) + 128, ($v) // 128] " +
+        s"WHEN ($v) < 2097152 THEN [(($v) % 128) + 128, ((($v) // 128) % 128) + 128, ($v) // 16384] " +
+        s"WHEN ($v) < 268435456 THEN [(($v) % 128) + 128, ((($v) // 128) % 128) + 128, " +
+        s"((($v) // 16384) % 128) + 128, ($v) // 2097152] " +
+        s"ELSE [(($v) % 128) + 128, ((($v) // 128) % 128) + 128, ((($v) // 16384) % 128) + 128, " +
+        s"((($v) // 2097152) % 128) + 128, ($v) // 268435456] END)"
+      val utf8 = "list_transform(range(1, CAST(length(fids) AS BIGINT) + 1), " +
+        "j -> CAST(ascii(substr(fids, CAST(j AS INTEGER), 1)) AS BIGINT))"
+      (q33CmdsCtes + ", " +
+      // cmds → geometry bytes; vi = 0-based feature index in fid order
+      "cmd AS (SELECT DISTINCT pid, tx, ty, cmds FROM cm), " +
+      "ff AS (SELECT pid, tx, ty, CAST(pid AS VARCHAR) AS fids, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY CAST(pid AS VARCHAR) ASC) - 1 AS BIGINT) AS vi, " +
+      s"flatten(list_transform(cmds, c -> ${vb("CAST(c AS BIGINT)")})) AS gb FROM cmd), " +
+      // feature message: id (field1) = vi+1, packed tags [0, vi] (field2),
+      // geom_type 3 (field3), packed geometry (field4)
+      s"f1 AS (SELECT *, ([0] || ${vb("vi")}) AS taginner FROM ff), " +
+      s"f2 AS (SELECT pid, tx, ty, fids, vi, " +
+      s"([8] || ${vb("vi + 1")} || [18] || ${vb("len(taginner)")} || taginner || [24, 3] || " +
+      s"[34] || ${vb("len(gb)")} || gb) AS feat, " +
+      s"([10, CAST(length(fids) AS BIGINT)] || $utf8) AS valb FROM f1), " +
+      // layer: version, name "features", features, key "fid", values, extent
+      s"lt AS (SELECT tx, ty, " +
+      s"flatten(list([18] || ${vb("len(feat)")} || feat ORDER BY fids ASC)) AS fb, " +
+      s"flatten(list([34] || ${vb("len(valb)")} || valb ORDER BY fids ASC)) AS vbb " +
+      "FROM f2 GROUP BY tx, ty), " +
+      "ly AS (SELECT tx, ty, ([120, 2, 10, 8, 102, 101, 97, 116, 117, 114, 101, 115] || fb || " +
+      "[26, 3, 102, 105, 100] || vbb || [40, 128, 32]) AS lb FROM lt), " +
+      s"tb AS (SELECT tx, ty, ([26] || ${vb("len(lb)")} || lb) AS tbytes FROM ly) " +
+      "SELECT CAST(tx AS BIGINT) AS x, CAST(ty AS BIGINT) AS y, " +
+      "CAST(len(tbytes) AS BIGINT) AS n_bytes, " +
+      "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tbytes, c -> CAST(c AS BIGINT))), " +
+      "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT) AS bhash FROM tb")
     },
 
     "q34_ann_lsh" -> {

@@ -368,6 +368,25 @@ case class StTilesForBounds(minLon: Expression, minLat: Expression,
     copy(c(0), c(1), c(2), c(3), c(4))
 }
 
+/** FromBounds over the EPSG:3857 grid (reference slippy/tile_grid.go
+  * FromBounds with the web-mercator native extent) — bounds in meters.
+  */
+case class StTilesForBounds3857(minX: Expression, minY: Expression,
+                                maxX: Expression, maxY: Expression,
+                                z: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType)
+  override def children: Seq[Expression] = Seq(minX, minY, maxX, maxY, z)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalN(v: Array[Any]): Any = {
+    val tiles = Slippy.fromBounds3857(v(4).asInstanceOf[Int],
+      v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double])
+    new GenericArrayData(tiles.toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 /** tile extent in 4326 (reference tile_grid.go:48-58). */
 case class StTileEnvelope(cell: Expression) extends GeomExpr {
   override def inputTypesImpl: Seq[DataType] = Seq(LongType)

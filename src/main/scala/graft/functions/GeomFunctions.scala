@@ -50,6 +50,9 @@ object GeomFunctions {
                           maxLat: Column, z: Column): Column =
     col(StTilesForBounds(ex(minLon), ex(minLat), ex(maxLon), ex(maxLat), ex(z)))
   def st_tile_envelope(cell: Column): Column = col(StTileEnvelope(ex(cell)))
+  def st_tiles_for_bounds_3857(minX: Column, minY: Column, maxX: Column,
+                               maxY: Column, z: Column): Column =
+    col(StTilesForBounds3857(ex(minX), ex(minY), ex(maxX), ex(maxY), ex(z)))
 
   // transforms
   def st_simplify(geo: Column, tol: Column): Column = col(StSimplify(ex(geo), ex(tol)))
@@ -129,6 +132,7 @@ object GeomFunctions {
     "st_cell_y" -> (a => StCellY(a(0))),
     "st_family_at" -> (a => StFamilyAt(a(0), a(1))),
     "st_tiles_for_bounds" -> (a => StTilesForBounds(a(0), a(1), a(2), a(3), a(4))),
+    "st_tiles_for_bounds_3857" -> (a => StTilesForBounds3857(a(0), a(1), a(2), a(3), a(4))),
     "st_tile_envelope" -> (a => StTileEnvelope(a(0))),
     "st_simplify" -> (a => StSimplify(a(0), a(1))),
     "st_clip" -> (a => StClip(a(0), a(1), a(2), a(3), a(4))),

@@ -18,15 +18,21 @@ import graft.functions.GeomFunctions._
 object Tiler {
 
   /** geometries(id, geom WKB) → one row per (id, cell) covering the
-    * geometry envelope at zoom z.
+    * geometry envelope at zoom z. `srid` picks the grid: 4326 (lon/lat
+    * degrees, the docs pipeline) or 3857 (web-mercator meters).
     */
-  def assignTiles(geoms: DataFrame, idCol: String, z: Int): DataFrame = {
-    geoms
+  def assignTiles(geoms: DataFrame, idCol: String, z: Int, srid: Int = 4326): DataFrame = {
+    val env = geoms
       .withColumn("env", st_envelope(col("geom")))
       .filter(col("env").isNotNull)
-      .select(col(idCol), explode(st_tiles_for_bounds(
-        col("env.minx"), col("env.miny"), col("env.maxx"), col("env.maxy"),
-        lit(z))).as("cell"))
+    val tiles =
+      if (srid == 3857)
+        st_tiles_for_bounds_3857(col("env.minx"), col("env.miny"),
+          col("env.maxx"), col("env.maxy"), lit(z))
+      else
+        st_tiles_for_bounds(col("env.minx"), col("env.miny"),
+          col("env.maxx"), col("env.maxy"), lit(z))
+    env.select(col(idCol), explode(tiles).as("cell"))
   }
 
   /** per-tile feature counts rolled up across several zooms in one pass:
@@ -54,29 +60,63 @@ object Tiler {
     * layer/tile assembly per group. Emits (z, x, y, mvt binary).
     */
   def mvtTiles(spark: org.apache.spark.sql.SparkSession, geoms: DataFrame,
-               idCol: String, z: Int, layerName: String): DataFrame = {
+               idCol: String, z: Int, layerName: String, srid: Int = 4326): DataFrame = {
     import spark.implicits._
     import graft.core.{MvtTile, Slippy}
-    val assigned = assignTiles(geoms, idCol, z)
+    val joined = assignTiles(geoms, idCol, z, srid)
       .join(geoms, Seq(idCol))
-      .withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
+    val prepped =
+      if (srid == 3857)
+        joined
+          .withColumn("te", st_tile_extent_3857(st_cell_z(col("cell")),
+            st_cell_x(col("cell")), st_cell_y(col("cell"))))
+          .withColumn("prep", st_prepare_extent(col("geom"),
+            col("te.minx"), col("te.miny"), col("te.maxx"), col("te.maxy")))
+      else
+        joined.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
+    val assigned = prepped
       .withColumn("mvt", st_mvt_geometry(col("prep")))
       .select(col("cell"), col(idCol).cast("string").as("fid"),
         col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype"))
       .as[(Long, String, Array[Long], Int)]
-    assigned.groupByKey(_._1)
-      .mapGroups { (cell, rows) =>
-        // streaming encode: one pass over the iterator, no per-tile feature
-        // materialization — a hot tile at 10× the median feature count
-        // holds only the output bytes, not the decoded features
-        var i = 0L
-        val featIt = rows.map { case (_, fid, cmds, gt) =>
-          i += 1
-          MvtTile.Feature(i, gt, cmds.toIndexedSeq, Vector("fid" -> fid))
+    // DETERMINISTIC + STREAMING tile assembly (round-3): the round-2
+    // groupByKey/mapGroups form assembled features in shuffle arrival
+    // order, so re-running the sink could produce byte-different (though
+    // semantically equal) tiles — unacceptable for a byte-level gate and
+    // for exact checkpoint resume. Features are now shuffled by cell and
+    // SORTED WITHIN PARTITIONS by (cell, fid): a single forward walk per
+    // partition groups consecutive rows of one tile and feeds them to the
+    // streaming layer encoder — per-tile memory stays bounded at the
+    // output bytes + key/value maps (never the feature list), and the
+    // per-feature heavy work (projection + command encode) happened
+    // map-side before the shuffle. Sort-based grouping replaces the hash
+    // group's in-memory map with spillable sort machinery — the standard
+    // 100 TB shape.
+    assigned
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("fid"))
+      .as[(Long, String, Array[Long], Int)]
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Int, Long, Long, Array[Byte])] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, Long, Long, Array[Byte]) = {
+            val cell = buf.head._1
+            var i = 0L
+            val featIt = new Iterator[MvtTile.Feature] {
+              def hasNext: Boolean = buf.hasNext && buf.head._1 == cell
+              def next(): MvtTile.Feature = {
+                val (_, fid, cmds, gt) = buf.next()
+                i += 1
+                MvtTile.Feature(i, gt, scala.collection.immutable.ArraySeq.unsafeWrapArray(cmds),
+                  Vector("fid" -> fid))
+              }
+            }
+            val layerBytes = MvtTile.encodeLayerStream(layerName, featIt)
+            val bytes = MvtTile.encodeTileFromLayerBytes(Vector(layerBytes))
+            (Slippy.unpackZ(cell), Slippy.unpackX(cell), Slippy.unpackY(cell), bytes)
+          }
         }
-        val layerBytes = MvtTile.encodeLayerStream(layerName, featIt)
-        val bytes = MvtTile.encodeTileFromLayerBytes(Vector(layerBytes))
-        (Slippy.unpackZ(cell), Slippy.unpackX(cell), Slippy.unpackY(cell), bytes)
       }
       .toDF("z", "x", "y", "mvt")
   }
