@@ -1,0 +1,104 @@
+package graft.core
+
+import graft.core.Geom._
+
+/** Arbitrary-SRID tile gridder (reference slippy/tile_grid.go:98-151
+  * `Grid{Srid}`): FromNative = project the native point back to 4326
+  * (proj.Inverse) then the shared lon2Num/lat2Num tile math; ToNative =
+  * x2deg/y2deg then project 4326 → native (proj.Convert); Extent =
+  * ToNative(t) ∪ ToNative(z, x+1, y+1). The reference delegates the
+  * projection pair to go-spatial/proj; here it is a first-class trait so
+  * any user SRID with a forward/inverse pair gets the full grid — the
+  * built-ins are 4326 (identity), 3857 (spherical mercator, hand-ported
+  * in Slippy), and a parameterized affine family standing in for
+  * proj4-style planar CRSs.
+  */
+trait Projection extends Serializable {
+  def srid: Int
+  /** 4326 lon/lat → native coordinates (reference proj.Convert). */
+  def forward(lon: Double, lat: Double): Pt
+  /** native coordinates → 4326 lon/lat (reference proj.Inverse). */
+  def inverse(x: Double, y: Double): Pt
+}
+
+object Projection {
+
+  val Epsg4326: Projection = new Projection {
+    val srid = 4326
+    def forward(lon: Double, lat: Double): Pt = (lon, lat)
+    def inverse(x: Double, y: Double): Pt = (x, y)
+  }
+
+  val Epsg3857: Projection = new Projection {
+    val srid = 3857
+    def forward(lon: Double, lat: Double): Pt = Slippy.lonLatToMerc(lon, lat)
+    def inverse(x: Double, y: Double): Pt = Slippy.mercToLonLat(x, y)
+  }
+
+  /** planar affine CRS: native = (ox + sx·lon, oy + sy·lat). Stands in
+    * for any proj4-style linear grid (scaled/offset local systems).
+    */
+  def affine(srid0: Int, sx: Double, sy: Double, ox: Double, oy: Double): Projection = {
+    require(sx != 0 && sy != 0, "singular affine projection")
+    val s0 = srid0
+    new Projection {
+      val srid = s0
+      def forward(lon: Double, lat: Double): Pt = (ox + sx * lon, oy + sy * lat)
+      def inverse(x: Double, y: Double): Pt = ((x - ox) / sx, (y - oy) / sy)
+    }
+  }
+
+  def forSrid(srid: Int): Option[Projection] = srid match {
+    case 4326 => Some(Epsg4326)
+    case 3857 => Some(Epsg3857)
+    case _    => None
+  }
+}
+
+/** the gridder proper — all methods in the projection's native units. */
+final case class TileGrid(projection: Projection,
+                          tileSize: Int = Slippy.DefaultTileSize) {
+
+  /** FromNative (tile_grid.go:109-121): inverse to 4326, shared tile math. */
+  def cellAt(z: Int, nx: Double, ny: Double): Long = {
+    val (lon, lat) = projection.inverse(nx, ny)
+    Slippy.pack(z, Slippy.lon2Num(z, lon, tileSize).toLong,
+      Slippy.lat2Num(z, lat, tileSize).toLong)
+  }
+
+  /** ToNative (tile_grid.go:123-131): the tile's upper-left corner. */
+  def toNative(z: Int, x: Int, y: Int): Pt =
+    projection.forward(Slippy.x2deg(z, x), Slippy.y2deg(z, y))
+
+  /** Extent (tile_grid.go:48-58): ToNative(t) ∪ ToNative(x+1, y+1). */
+  def extent(z: Int, x: Int, y: Int): Extent = {
+    val (x1, y1) = toNative(z, x, y)
+    val (x2, y2) = toNative(z, x + 1, y + 1)
+    Extent(math.min(x1, x2), math.min(y1, y2), math.max(x1, x2), math.max(y1, y2))
+  }
+
+  /** FromBounds (tile.go:111-145 over this grid): corner cells normalized,
+    * dense x/y loop.
+    */
+  def fromBounds(z: Int, minX: Double, minY: Double,
+                 maxX: Double, maxY: Double): IndexedSeq[Long] = {
+    val c1 = cellAt(z, minX, minY)
+    val c2 = cellAt(z, maxX, maxY)
+    val (lox, hix) = {
+      val a = Slippy.unpackX(c1); val b = Slippy.unpackX(c2)
+      (math.min(a, b), math.max(a, b))
+    }
+    val (loy, hiy) = {
+      val a = Slippy.unpackY(c1); val b = Slippy.unpackY(c2)
+      (math.min(a, b), math.max(a, b))
+    }
+    val out = Vector.newBuilder[Long]
+    var x = lox
+    while (x <= hix) {
+      var y = loy
+      while (y <= hiy) { out += Slippy.pack(z, x, y); y += 1 }
+      x += 1
+    }
+    out.result()
+  }
+}
