@@ -539,10 +539,10 @@ object SparkEntry {
       // rows -> duplicate pids; identical duplicates collapse (the sink
       // joins on pid, which would cross-multiply them)
       val fixed = q33Input(s, dir)
+        .select(col("pid"), col("geom"))
+        .dropDuplicates("pid") // BEFORE the repair: smaller shuffle, no wasted kernels
         .withColumn("geom", st_makevalid(col("geom"),
           lit(Double.NaN), lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)))
-        .select(col("pid"), col("geom"))
-        .dropDuplicates("pid")
       graft.operators.Tiler.mvtTiles(s, fixed, "pid", 9, "features", srid = 3857)
         .select(col("x"), col("y"), col("mvt"))
         .as[(Long, Long, Array[Byte])]

@@ -63,17 +63,30 @@ object Tiler {
                idCol: String, z: Int, layerName: String, srid: Int = 4326): DataFrame = {
     import spark.implicits._
     import graft.core.{MvtTile, Slippy}
-    val joined = assignTiles(geoms, idCol, z, srid)
-      .join(geoms, Seq(idCol))
+    // cell assignment INLINE (explode carries the geometry column) — the
+    // round-2 assignTiles(geoms) ⋈ geoms form evaluated the input twice
+    // (fatal when the upstream is expensive, e.g. a makevalid stage) and
+    // paid a join shuffle for nothing
+    val env = geoms
+      .withColumn("env", st_envelope(col("geom")))
+      .filter(col("env").isNotNull)
+    val tiles =
+      if (srid == 3857)
+        st_tiles_for_bounds_3857(col("env.minx"), col("env.miny"),
+          col("env.maxx"), col("env.maxy"), lit(z))
+      else
+        st_tiles_for_bounds(col("env.minx"), col("env.miny"),
+          col("env.maxx"), col("env.maxy"), lit(z))
+    val withCell = env.withColumn("cell", explode(tiles))
     val prepped =
       if (srid == 3857)
-        joined
+        withCell
           .withColumn("te", st_tile_extent_3857(st_cell_z(col("cell")),
             st_cell_x(col("cell")), st_cell_y(col("cell"))))
           .withColumn("prep", st_prepare_extent(col("geom"),
             col("te.minx"), col("te.miny"), col("te.maxx"), col("te.maxy")))
       else
-        joined.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
+        withCell.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
     val assigned = prepped
       .withColumn("mvt", st_mvt_geometry(col("prep")))
       .select(col("cell"), col(idCol).cast("string").as("fid"),
