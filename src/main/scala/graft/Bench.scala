@@ -37,11 +37,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset (drift triage): SPARK_GRAFT_BENCH_ONLY
+    val queries = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(names) =>
+        val keep = names.split(",").map(_.trim).toSet
+        SparkEntry.queries.view.filterKeys(keep.contains).toMap
+      case None => SparkEntry.queries
+    }
+
     // warm the JVM/codegen once on the smallest scale so per-query numbers
     // measure the operators, not first-call JIT + planning
-    run(spark, "/root/testdata/sf0.001", SparkEntry.queries)
+    run(spark, "/root/testdata/sf0.001", queries)
 
-    val results = run(spark, sfDir, SparkEntry.queries)
+    val results = run(spark, sfDir, queries)
     val nRows = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }

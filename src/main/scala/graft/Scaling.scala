@@ -38,8 +38,15 @@ object Scaling {
     * (double→string formatting allocates more than the geometry kernels
     * themselves and was dominating the measured "pipeline" scaling).
     */
+  /** the q33 tile-pipeline tier factor. Round 3's kernel is 3.3× faster
+    * than round 2's, so the round-2 ×8 replica finishes in ~9 s at 8
+    * cores — too small to measure 32 cores against fixed overheads; ×32
+    * restores tens-of-seconds lo-side runs.
+    */
+  val Q33Tier = 32
+
   private val plan: Seq[(String, Int)] = Seq(
-    "q33_pipeline_op" -> 8,
+    "q33_pipeline_op" -> Q33Tier,
     "q21_knn_cell" -> 48,
     "q12_knn" -> 48,
     "q29_makevalid" -> 48,
@@ -66,7 +73,7 @@ object Scaling {
     for (t <- Seq("nation", "documents", "events", "embeddings", "orders", "customer"))
       spark.read.parquet(s"$sfDir/$t.parquet")
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-    if (factor == 8) // the tile-pipeline tier reads prebuilt WKB geometry
+    if (factor == Q33Tier) // the tile-pipeline tier reads prebuilt WKB geometry
       SparkEntry.q33Input(spark, outDir)
         .write.mode("overwrite").parquet(s"$outDir/q33geom.parquet")
     spark.stop()
