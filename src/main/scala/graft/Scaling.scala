@@ -43,7 +43,7 @@ object Scaling {
     * cores — too small to measure 32 cores against fixed overheads; ×32
     * restores tens-of-seconds lo-side runs.
     */
-  val Q33Tier = 32
+  val Q33Tier = sys.env.getOrElse("SPARK_GRAFT_Q33_TIER", "32").toInt
 
   private val plan: Seq[(String, Int)] = Seq(
     "q33_pipeline_op" -> Q33Tier,
