@@ -98,8 +98,9 @@ object Mvt {
       a(n) = v; n += 1
     }
     def result(): IndexedSeq[Long] =
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(
-        java.util.Arrays.copyOf(a, n))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(resultArray())
+
+    def resultArray(): Array[Long] = java.util.Arrays.copyOf(a, n)
   }
 
   private val encodeBuf = new ThreadLocal[LongBuf] {
@@ -134,6 +135,14 @@ object Mvt {
     * 3=POLYGON (vector_tile.proto enum).
     */
   def encodeGeometry(g: Geometry): (IndexedSeq[Long], Int) = {
+    val (arr, tpe) = encodeGeometryRaw(g)
+    (scala.collection.immutable.ArraySeq.unsafeWrapArray(arr), tpe)
+  }
+
+  /** raw-array variant for the Spark kernels (GenericArrayData wraps the
+    * long[] directly — the IndexedSeq form cost a second copy per row).
+    */
+  def encodeGeometryRaw(g: Geometry): (Array[Long], Int) = {
     var curX = 0L
     var curY = 0L
     val out = encodeBuf.get()
@@ -197,9 +206,9 @@ object Mvt {
         ls.foreach { l => moveTo(l.take(1)); lineTo(l.drop(1)) }; 2
       case GPolygon(rs)      => polygon(rs); 3
       case GMultiPolygon(mp) => mp.foreach(polygon); 3
-      case GCollection(_)    => return (Vector.empty, 0)
+      case GCollection(_)    => return (Array.emptyLongArray, 0)
     }
-    (out.result(), tpe)
+    (out.resultArray(), tpe)
   }
 
   // ---- decode (reference encoding/mvt/decode.go:86-304) ----

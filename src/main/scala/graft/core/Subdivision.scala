@@ -316,24 +316,37 @@ object Subdivision {
 
   def forPoints(points: IndexedSeq[Pt]): Option[Subdivision] = {
     if (points.isEmpty) return None
-    val rounded = points.map(roundPoint)
-    Extent.ofPoints(rounded) match {
-      case None => None
-      case Some(ext) =>
-        val (a, b, c) = triangleContaining(ext)
-        val sd = ofFrame(a, b, c)
-        val seen = forPointsSeen.get()
-        seen.clear()
-        seen.add(a); seen.add(b); seen.add(c)
-        val it = rounded.iterator
-        while (it.hasNext) {
-          val pt = it.next()
-          if (seen.add(pt)) {
-            if (!sd.insertSite(pt)) return None // reference errors out
-          }
-        }
-        Some(sd)
+    // round inline (one pass, no intermediate rounded Vector) — the
+    // extent fold matches Extent.ofPoints over the rounded stream
+    val n = points.length
+    val rounded = new Array[Pt](n)
+    var mnx = 0.0; var mny = 0.0; var mxx = 0.0; var mxy = 0.0
+    var i = 0
+    while (i < n) {
+      val r = roundPoint(points(i))
+      rounded(i) = r
+      if (i == 0) { mnx = r._1; mny = r._2; mxx = r._1; mxy = r._2 }
+      else {
+        mnx = math.min(mnx, r._1); mny = math.min(mny, r._2)
+        mxx = math.max(mxx, r._1); mxy = math.max(mxy, r._2)
+      }
+      i += 1
     }
+    val ext = Extent(mnx, mny, mxx, mxy)
+    val (a, b, c) = triangleContaining(ext)
+    val sd = ofFrame(a, b, c)
+    val seen = forPointsSeen.get()
+    seen.clear()
+    seen.add(a); seen.add(b); seen.add(c)
+    i = 0
+    while (i < n) {
+      val pt = rounded(i)
+      if (seen.add(pt)) {
+        if (!sd.insertSite(pt)) return None // reference errors out
+      }
+      i += 1
+    }
+    Some(sd)
   }
 
   /** reference subdivision.go locate + testEdge. The walk step is inlined

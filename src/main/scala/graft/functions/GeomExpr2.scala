@@ -62,8 +62,8 @@ case class StMvtGeometry(geo: Expression) extends GeomExpr {
   protected def evalN(v: Array[Any]): Any = {
     val g = geomOrNull(v(0).asInstanceOf[Array[Byte]])
     if (g == null) return null
-    val (cmds, tpe) = Mvt.encodeGeometry(g)
-    row(new GenericArrayData(cmds.toArray), tpe)
+    val (cmds, tpe) = Mvt.encodeGeometryRaw(g)
+    row(new GenericArrayData(cmds), tpe)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
 }
@@ -141,8 +141,8 @@ case class StMvtPipeline(geo: Expression, z: Expression,
         case None      => return null
       } catch { case _: Exception => return null }
     val prep = Mvt.prepareGeo(fixed, ext)
-    val (cmds, tpe) = Mvt.encodeGeometry(prep)
-    row(new GenericArrayData(cmds.toArray), tpe)
+    val (cmds, tpe) = Mvt.encodeGeometryRaw(prep)
+    row(new GenericArrayData(cmds), tpe)
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1), c(2), c(3))
