@@ -122,12 +122,20 @@ object Scaling {
     // superlinear (measured q21 "efficiency" 1.76 at 4→16). 64 partitions
     // keep every level's partitions spill-free and identical on both sides,
     // so the ratio measures parallelism, nothing else.
-    val builder0 = SparkSession.builder()
+    val builder1 = SparkSession.builder()
       .appName(s"graft-scaling-$cpus")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+    // loopback-shuffle experiment knob: on one host, compressing shuffle
+    // blocks only burns CPU (no real network) — lets the q21 cluster pair
+    // isolate codec cost from the cross-JVM fetch path
+    val builder0 =
+      if (sys.env.get("GRAFT_SHUFFLE_COMPRESS").contains("off"))
+        builder1.config("spark.shuffle.compress", "false")
+          .config("spark.shuffle.spill.compress", "false")
+      else builder1
     val builder =
       if (clusterMode) {
         val execCores = 4

@@ -135,10 +135,13 @@ class NeTilesSpec extends AnyFunSuite {
       // don't explode the suite. The cap picks EVENLY-SPREAD cover tiles
       // (a bbox-corner prefix mostly misses the geometry) — deterministic,
       // and noted per the no-silent-caps rule.
-      val cover = Slippy.fromBounds3857(6, ext.minx, ext.miny, ext.maxx, ext.maxy)
-      val chosen =
-        if (cover.length <= 8) cover
-        else (0 until 8).map(k => cover(k * (cover.length - 1) / 7)).distinct
+      val cover6 = Slippy.fromBounds3857(6, ext.minx, ext.miny, ext.maxx, ext.maxy)
+      // plus a z8 slice (16x smaller tiles: heavier clipping per feature)
+      val cover8 = Slippy.fromBounds3857(8, ext.minx, ext.miny, ext.maxx, ext.maxy)
+      def spread(cover: IndexedSeq[Long], k: Int): IndexedSeq[Long] =
+        if (cover.length <= k) cover
+        else (0 until k).map(j => cover(j * (cover.length - 1) / (k - 1))).distinct
+      val chosen = spread(cover6, 8) ++ spread(cover8, 4)
       chosen.foreach { cell =>
         val z = Slippy.unpackZ(cell)
         val x = Slippy.unpackX(cell).toInt
@@ -162,12 +165,12 @@ class NeTilesSpec extends AnyFunSuite {
         hash = (hash * 31 + 17) % M // tile separator
       }
     }
-    assert(tiles == 203, s"covered tiles changed: $tiles")
-    assert(nonEmpty == 126, s"non-empty outputs changed: $nonEmpty")
+    assert(tiles == 431, s"covered tiles changed: $tiles")
+    assert(nonEmpty == 246, s"non-empty outputs changed: $nonEmpty")
     // REGRESSION PIN (computed from this implementation, asserted stable
     // across rounds — there is no reference golden for these, see header)
-    assert(totalCmds == 31628L, s"total commands changed: $totalCmds")
-    assert(hash == 677345300181525L, s"corpus hash changed: $hash")
+    assert(totalCmds == 36891L, s"total commands changed: $totalCmds")
+    assert(hash == 775976553519988L, s"corpus hash changed: $hash")
   }
 
   test("fused kernel parity: WKB round-trip through the corpus pipeline") {
