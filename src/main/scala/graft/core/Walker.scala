@@ -156,6 +156,16 @@ object Walker {
     override def initialValue(): IntBuf = new IntBuf
   }
 
+  // pooled ring buffers: the walk ring (ringForTriangle) and the working
+  // ring (polygonForRing via rotatedBuf) never escape — every emitted ring
+  // is copied into a fresh array by rotatedSeq — so both recycle per call
+  private val walkRngScratch = new ThreadLocal[mutable.ArrayBuffer[Pt]] {
+    override def initialValue(): mutable.ArrayBuffer[Pt] = new mutable.ArrayBuffer[Pt](64)
+  }
+  private val workRngScratch = new ThreadLocal[mutable.ArrayBuffer[Pt]] {
+    override def initialValue(): mutable.ArrayBuffer[Pt] = new mutable.ArrayBuffer[Pt](64)
+  }
+
   /** reference triangle.go:46-57 ThirdPoint (HiCMP equality). */
   private def thirdPoint(t: Tri, p1: Pt, p2: Pt): Pt = {
     def eq(a: Pt, b: Pt) = cmp.pointEqual(a, b)
@@ -211,7 +221,9 @@ object Walker {
                               idx: Int, seen: Array[Boolean]): mutable.ArrayBuffer[Pt] = {
     seen(idx) = true
     var headIdx = 0
-    val rng = mutable.ArrayBuffer[Pt](triangles(idx)._1, triangles(idx)._2, triangles(idx)._3)
+    val rng = walkRngScratch.get()
+    rng.clear()
+    rng += triangles(idx)._1 += triangles(idx)._2 += triangles(idx)._3
     val cidxs = cidxsScratch.get()
     cidxs.clear()
     cidxs.add(idx); cidxs.add(idx); cidxs.add(idx)
@@ -312,7 +324,8 @@ object Walker {
 
   private def rotatedBuf(buf: mutable.ArrayBuffer[Pt]): mutable.ArrayBuffer[Pt] = {
     val n = buf.length
-    val out = new mutable.ArrayBuffer[Pt](n)
+    val out = workRngScratch.get()
+    out.clear()
     if (n == 0) return out
     var li = 0
     var i = 1
