@@ -33,10 +33,20 @@ object SparkEntry {
     // below by max(#files, totalBytes / maxPartitionBytes), both available
     // from the cached file index / optimizer stats without planning.
     val nFiles = df.inputFiles.length
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
-    val estSplits = math.max(nFiles.toLong, (bytes / maxPart).toLong)
-    if (estSplits < cores) df.repartition(cores) else df
+    if (nFiles == 0) {
+      // Non-file-backed frame: optimizer leaf stats default to huge
+      // sizeInBytes (defaultSizeInBytes), which would estimate >= cores
+      // splits and silently skip the spread — the opposite of the intent.
+      // The RDD partition count is the truth here; the extra planning pass
+      // only happens on this (rare, small, in-memory) shape.
+      val parts = df.rdd.getNumPartitions
+      if (parts < cores) df.repartition(cores) else df
+    } else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+      val estSplits = math.max(nFiles.toLong, (bytes / maxPart).toLong)
+      if (estSplits < cores) df.repartition(cores) else df
+    }
   }
 
   /** Flagship: interleaved docs table → span extraction → WKT parse →

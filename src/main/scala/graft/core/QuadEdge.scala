@@ -105,7 +105,8 @@ object QuadEdge {
     private var groups = new Array[Array[Edge]](256)
     private var n = 0 // high-water of pooled groups
     private var idx = 0 // next pooled group to hand out
-    def reset(): Unit = idx = 0
+    var gen = 0L // bumped on reset; lets readers detect recycled edges
+    def reset(): Unit = { idx = 0; gen += 1 }
     def take(): Edge = {
       val es =
         if (idx < n) { val g = groups(idx); idx += 1; g }
@@ -127,6 +128,13 @@ object QuadEdge {
     * MakeValid.geometry (the per-row kernel entry) calls this.
     */
   def resetPool(): Unit = pool.get().reset()
+
+  /** This thread's pool generation — bumped by each resetPool(). A
+    * Subdivision records it at build time and refuses reads after the pool
+    * it lives in has been recycled (the documented-but-previously-
+    * unenforced resetPool contract).
+    */
+  def poolGeneration: Long = pool.get().gen
 
   /** 4-edge group (reference quadedge.go Init) — pooled per thread. */
   def newEdge(): Edge = pool.get().take()
@@ -283,7 +291,12 @@ object QuadEdge {
       else {
         e = e.oNext
         iter += 1
-        if ((e.qe eq gse.qe) || iter > (1 << 20)) walking = false
+        // first-repeat semantics of the original seen-set walker: only the
+        // STARTING edge terminates the ring (on degenerate topologies the
+        // group's sym edge can appear in the same origin ring and must be
+        // walked through, not treated as the cycle end); the iteration cap
+        // covers corrupted topologies.
+        if ((e eq gse) || iter > (1 << 20)) walking = false
       }
     }
     re

@@ -25,7 +25,7 @@ final class Ring private (n: Int,
   def segs: IndexedSeq[Seg] =
     (0 until n).map(i => Seg(x1s(i), y1s(i), x2s(i), y2s(i)))
 
-  val bbox: Extent = {
+  val bbox: Extent = if (n == 0) Extent(0, 0, 0, 0) else {
     var mnx = x1s(0); var mny = y1s(0)
     var mxx = x1s(0); var mxy = y1s(0)
     var i = 0
@@ -117,7 +117,10 @@ object Ring {
     */
   def fromPoints(pts: IndexedSeq[Pt], includeBorder: Boolean = false,
                  cmp: Cmp = Cmp.Default): Ring = {
-    val n = if (pts.length < 3) 0 else pts.length
+    // reference NewRingFromPoints builds a segment per point for ANY count
+    // (1-2 points yield degenerate segments, never a panic); the bbox of an
+    // empty ring is the Go zero-value Extent.
+    val n = pts.length
     val x1s = new Array[Double](n); val y1s = new Array[Double](n)
     val x2s = new Array[Double](n); val y2s = new Array[Double](n)
     var prev = n - 1

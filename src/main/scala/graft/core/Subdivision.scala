@@ -19,11 +19,27 @@ final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)
 
   import Subdivision._
 
+  // resetPool-contract enforcement: the edges of this subdivision live in
+  // the building thread's per-thread pool; after QuadEdge.resetPool() they
+  // are silently recycled. Record the generation at build and fail fast on
+  // stale reads from the owning thread (cross-thread reads can't be
+  // poisoned by that thread's reset — pools are per-thread).
+  private val builtGen = QuadEdge.poolGeneration
+  private val builtThread = Thread.currentThread()
+
+  private def checkLive(): Unit =
+    if ((Thread.currentThread() eq builtThread) && QuadEdge.poolGeneration != builtGen)
+      throw new IllegalStateException(
+        "Subdivision used after QuadEdge.resetPool() recycled its pooled edges " +
+          "(e.g. MakeValid.geometry ran on this thread since it was built); " +
+          "read or rebuild the subdivision before the next reset")
+
   private def locate(x: Pt): Option[Edge] =
     Subdivision.locate(startingEdge, x, ptcount * 2)
 
   /** reference subdivision.go:207-455 InsertSite (default y-up order). */
   def insertSite(x: Pt): Boolean = {
+    checkLive()
     ptcount += 1
     var e = locate(x) match {
       case Some(ed) => ed
@@ -83,6 +99,7 @@ final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)
 
   /** reference subdivision.go Triangles + WalkAllTriangles, frame excluded. */
   def triangles(includeFrame: Boolean): IndexedSeq[(Pt, Pt, Pt)] = {
+    checkLive()
     val out = Vector.newBuilder[(Pt, Pt, Pt)]
     walkAllTriangles(startingEdge) { (start, mid, end) =>
       if (includeFrame || !isFramePoint3(frame, start, mid, end))
@@ -92,7 +109,10 @@ final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)
     out.result()
   }
 
-  def walkAllEdges(fn: Edge => Boolean): Unit = Subdivision.walkAllEdges(startingEdge, fn)
+  def walkAllEdges(fn: Edge => Boolean): Unit = {
+    checkLive()
+    Subdivision.walkAllEdges(startingEdge, fn)
+  }
 }
 
 object Subdivision {
