@@ -575,6 +575,36 @@ object SparkEntry {
       graft.operators.Dedup.nearDupPairs(docs, "doc_id", "text",
         bands = 4, rowsPerBand = 4, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    }),
+
+    "q45_mvt_typed_tags" -> ((s, dir) => {
+      // TYPED tag values through the MVT sink: each feature carries
+      // fid:string + pid:int64 + score:double + even:bool, encoded as the
+      // reference's 7-variant Value message family (vector_tile.proto:22-28,
+      // layer.go:133-190) with cross-feature value dedup — the two bool
+      // values dedupe across the whole layer, so the oracle must reproduce
+      // the first-appearance index bookkeeping to predict the bytes.
+      import s.implicits._
+      val fixed = q33Input(s, dir)
+        .select(col("pid"), col("geom"))
+        .dropDuplicates("pid")
+        .withColumn("geom", st_makevalid(col("geom"),
+          lit(Double.NaN), lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)))
+        .withColumn("score", col("pid").cast("double") / lit(4.0) + lit(0.5))
+        .withColumn("even", (col("pid") % 2) === 0)
+      graft.operators.Tiler.mvtTiles(s, fixed, "pid", 9, "features", srid = 3857,
+          propCols = Seq("pid", "score", "even"))
+        .select(col("x"), col("y"), col("mvt"))
+        .as[(Long, Long, Array[Byte])]
+        .map { case (x, y, b) =>
+          var acc = 0L
+          var i = 0
+          while (i < b.length) {
+            acc = (acc * 31 + (b(i) & 0xFF)) % 1000000000000007L
+            i += 1
+          }
+          (x, y, b.length.toLong, acc)
+        }.toDF("x", "y", "n_bytes", "bhash")
     })
   )
 
@@ -859,6 +889,66 @@ object SparkEntry {
       "FROM f2 GROUP BY tx, ty), " +
       "ly AS (SELECT tx, ty, ([120, 2, 10, 8, 102, 101, 97, 116, 117, 114, 101, 115] || fb || " +
       "[26, 3, 102, 105, 100] || vbb || [40, 128, 32]) AS lb FROM lt), " +
+      s"tb AS (SELECT tx, ty, ([26] || ${vb("len(lb)")} || lb) AS tbytes FROM ly) " +
+      "SELECT CAST(tx AS BIGINT) AS x, CAST(ty AS BIGINT) AS y, " +
+      "CAST(len(tbytes) AS BIGINT) AS n_bytes, " +
+      "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tbytes, c -> CAST(c AS BIGINT))), " +
+      "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT) AS bhash FROM tb")
+    },
+
+    // q43 + TYPED tag values: every feature carries fid:string, pid:int64
+    // (Value field 4, varint), score:double (field 3, fixed64 LE of the
+    // IEEE-754 bits — score = pid/4 + 0.5 is exactly dyadic so the bits
+    // are integer-computable), even:bool (field 7). The two bool values
+    // dedupe ACROSS features (reference feature.go:360-576), so value
+    // indices need the first-appearance bookkeeping: feature at rank vi
+    // contributes 3 always-new values plus a bool value only when its
+    // parity appears first in the tile.
+    "q45_mvt_typed_tags" -> {
+      def vb(v: String) = s"(CASE WHEN ($v) < 128 THEN [($v)] " +
+        s"WHEN ($v) < 16384 THEN [(($v) % 128) + 128, ($v) // 128] " +
+        s"WHEN ($v) < 2097152 THEN [(($v) % 128) + 128, ((($v) // 128) % 128) + 128, ($v) // 16384] " +
+        s"WHEN ($v) < 268435456 THEN [(($v) % 128) + 128, ((($v) // 128) % 128) + 128, " +
+        s"((($v) // 16384) % 128) + 128, ($v) // 2097152] " +
+        s"ELSE [(($v) % 128) + 128, ((($v) // 128) % 128) + 128, ((($v) // 16384) % 128) + 128, " +
+        s"((($v) // 2097152) % 128) + 128, ($v) // 268435456] END)"
+      val utf8 = "list_transform(range(1, CAST(length(fids) AS BIGINT) + 1), " +
+        "j -> CAST(ascii(substr(fids, CAST(j AS INTEGER), 1)) AS BIGINT))"
+      (q33CmdsCtes + ", " +
+      "cmd AS (SELECT DISTINCT pid, tx, ty, cmds FROM cm), " +
+      "ff0 AS (SELECT pid, tx, ty, CAST(pid AS VARCHAR) AS fids, pid % 2 AS par, " +
+      "CAST(ROW_NUMBER() OVER (PARTITION BY tx, ty ORDER BY CAST(pid AS VARCHAR) ASC) - 1 AS BIGINT) AS vi, " +
+      s"flatten(list_transform(cmds, c -> ${vb("CAST(c AS BIGINT)")})) AS gb FROM cmd), " +
+      // first-appearance bookkeeping: base = 3·vi + #bool-values already
+      // emitted before this rank; bidx = value index of this parity's bool
+      "ff1 AS (SELECT *, CASE WHEN vi = min(vi) OVER (PARTITION BY tx, ty, par) THEN 1 ELSE 0 END AS firstpar FROM ff0), " +
+      "ff2 AS (SELECT *, 3 * vi + COALESCE(SUM(firstpar) OVER (PARTITION BY tx, ty ORDER BY vi ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS vbase FROM ff1), " +
+      "ff3 AS (SELECT *, MIN(CASE WHEN firstpar = 1 THEN vbase + 3 END) OVER (PARTITION BY tx, ty, par) AS bidx FROM ff2), " +
+      // IEEE-754 bits of score = (pid+2)/4: normalized n·2^(-2) with
+      // n = pid+2, k = floor(log2 n) ⇒ bits = (1020+k)·2^52 + n·2^(52-k)
+      "dd AS (SELECT *, CAST(floor(log2(CAST(pid + 2 AS DOUBLE))) AS BIGINT) AS kk FROM ff3), " +
+      "de AS (SELECT *, ((1020 + kk) << 52) + ((pid + 2) << (52 - CAST(kk AS INTEGER))) AS dbits FROM dd), " +
+      // per-feature Value messages in assignment order: string, int,
+      // double, (+ bool when first of its parity); each framed as layer
+      // field 4 ([34] len msg)
+      s"vm AS (SELECT *, ([10, CAST(length(fids) AS BIGINT)] || $utf8) AS fidmsg, " +
+      s"([32] || ${vb("pid")}) AS pidmsg, " +
+      "([25] || list_transform(range(0, 8), j -> (dbits >> (8 * CAST(j AS INTEGER))) & 255)) AS dblmsg FROM de), " +
+      s"vv AS (SELECT *, ([34] || ${vb("len(fidmsg)")} || fidmsg || [34] || ${vb("len(pidmsg)")} || pidmsg || [34, 9] || dblmsg || " +
+      "CASE WHEN firstpar = 1 THEN [34, 2, 56, CASE WHEN par = 0 THEN 1 ELSE 0 END] ELSE CAST([] AS BIGINT[]) END) AS valb FROM vm), " +
+      // packed tags: keys fid=0 pid=1 score=2 even=3
+      s"tg AS (SELECT *, ([0] || ${vb("vbase")} || [1] || ${vb("vbase + 1")} || [2] || ${vb("vbase + 2")} || [3] || ${vb("bidx")}) AS taginner FROM vv), " +
+      s"f2 AS (SELECT pid, tx, ty, fids, vi, valb, " +
+      s"([8] || ${vb("vi + 1")} || [18] || ${vb("len(taginner)")} || taginner || [24, 3] || " +
+      s"[34] || ${vb("len(gb)")} || gb) AS feat FROM tg), " +
+      s"lt AS (SELECT tx, ty, " +
+      s"flatten(list([18] || ${vb("len(feat)")} || feat ORDER BY fids ASC)) AS fb, " +
+      s"flatten(list(valb ORDER BY fids ASC)) AS vbb " +
+      "FROM f2 GROUP BY tx, ty), " +
+      // keys: \"fid\" \"pid\" \"score\" \"even\" in first-use order
+      "ly AS (SELECT tx, ty, ([120, 2, 10, 8, 102, 101, 97, 116, 117, 114, 101, 115] || fb || " +
+      "[26, 3, 102, 105, 100, 26, 3, 112, 105, 100, 26, 5, 115, 99, 111, 114, 101, 26, 4, 101, 118, 101, 110] || " +
+      "vbb || [40, 128, 32]) AS lb FROM lt), " +
       s"tb AS (SELECT tx, ty, ([26] || ${vb("len(lb)")} || lb) AS tbytes FROM ly) " +
       "SELECT CAST(tx AS BIGINT) AS x, CAST(ty AS BIGINT) AS y, " +
       "CAST(len(tbytes) AS BIGINT) AS n_bytes, " +

@@ -13,10 +13,50 @@ import scala.collection.mutable.ArrayBuffer
   */
 object MvtTile {
 
+  /** Typed tag value — the 7 variants of the vector_tile Value message
+    * (vector_tile.proto:22-28; reference layer.go:133-190 vectorTileValue).
+    * Case-class equality scopes the cross-feature value dedup WITHIN each
+    * variant, exactly like the reference's per-Go-type dedup loops
+    * (feature.go:360-576): VInt(3) and VSint(3) are distinct map entries.
+    */
+  sealed trait TagValue
+  object TagValue {
+    final case class VString(v: String) extends TagValue // string_value = 1
+    final case class VFloat(v: Float) extends TagValue // float_value  = 2
+    final case class VDouble(v: Double) extends TagValue // double_value = 3
+    final case class VInt(v: Long) extends TagValue // int_value    = 4
+    final case class VUint(v: Long) extends TagValue // uint_value   = 5 (bits unsigned)
+    final case class VSint(v: Long) extends TagValue // sint_value   = 6 (zigzag)
+    final case class VBool(v: Boolean) extends TagValue // bool_value   = 7
+
+    /** JVM-type dispatch mirroring reference layer.go vectorTileValue:
+      * sub-64-bit integers → sint (zigzag), Long → int, Float → float,
+      * Double → double, Boolean → bool, String → string; nil tags are
+      * dropped by the encoder (feature.go:379-381), so null → null here.
+      */
+    def of(v: Any): TagValue = v match {
+      case null         => null
+      case s: String    => VString(s)
+      case b: Boolean   => VBool(b)
+      case b: Byte      => VSint(b.toLong)
+      case s: Short     => VSint(s.toLong)
+      case i: Int       => VSint(i.toLong)
+      case l: Long      => VInt(l)
+      case f: Float     => VFloat(f)
+      case d: Double    => VDouble(d)
+      case other        => VString(String.valueOf(other))
+    }
+  }
+  import TagValue._
+
   final case class Feature(id: Long, geomType: Int, geometry: IndexedSeq[Long],
-                           properties: IndexedSeq[(String, String)] = Vector.empty)
+                           properties: IndexedSeq[(String, TagValue)] = Vector.empty)
   final case class Layer(name: String, features: IndexedSeq[Feature],
                          extent: Int = 4096, version: Int = 2)
+
+  /** convenience for the common string-only property shape. */
+  def strProps(kvs: (String, String)*): IndexedSeq[(String, TagValue)] =
+    kvs.map { case (k, v) => (k, VString(v): TagValue) }.toIndexedSeq
 
   // ---- protobuf wire primitives ----
 
@@ -43,13 +83,33 @@ object MvtTile {
       vs.foreach(inner.varint)
       bytesField(field, inner.result())
     }
+    def fixed32(v: Int): Unit = {
+      buf += (v & 0xFF).toByte
+      buf += ((v >>> 8) & 0xFF).toByte
+      buf += ((v >>> 16) & 0xFF).toByte
+      buf += ((v >>> 24) & 0xFF).toByte
+    }
+    def fixed64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { buf += ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+    }
     def result(): Array[Byte] = buf.toArray
   }
 
-  /** Value message holding a string (field 1). */
-  private def encodeValue(s: String): Array[Byte] = {
+  /** Value message — one of the 7 typed variants (proto2 explicit
+    * presence: a set BoolValue(false) still writes its field).
+    */
+  private def encodeValue(v: TagValue): Array[Byte] = {
     val w = new Writer
-    w.stringField(1, s)
+    v match {
+      case VString(s) => w.stringField(1, s)
+      case VFloat(f)  => w.tag(2, 5); w.fixed32(java.lang.Float.floatToIntBits(f))
+      case VDouble(d) => w.tag(3, 1); w.fixed64(java.lang.Double.doubleToLongBits(d))
+      case VInt(l)    => w.varintField(4, l)
+      case VUint(l)   => w.varintField(5, l)
+      case VSint(l)   => w.varintField(6, (l << 1) ^ (l >> 63))
+      case VBool(b)   => w.varintField(7, if (b) 1L else 0L)
+    }
     w.result()
   }
 
@@ -67,12 +127,15 @@ object MvtTile {
     */
   def encodeLayer(layer: Layer): Array[Byte] = {
     val keyIdx = mutable.LinkedHashMap[String, Int]()
-    val valIdx = mutable.LinkedHashMap[String, Int]()
+    val valIdx = mutable.LinkedHashMap[TagValue, Int]()
     val featureTags = layer.features.map { f =>
       f.properties.flatMap { case (k, v) =>
         val ki = keyIdx.getOrElseUpdate(k, keyIdx.size)
-        val vi = valIdx.getOrElseUpdate(v, valIdx.size)
-        Seq(ki.toLong, vi.toLong)
+        if (v == null) Nil // reference drops nil-valued tags (feature.go:379)
+        else {
+          val vi = valIdx.getOrElseUpdate(v, valIdx.size)
+          Seq(ki.toLong, vi.toLong)
+        }
       }
     }
     val w = new Writer
@@ -104,15 +167,18 @@ object MvtTile {
   def encodeLayerStream(name: String, features: Iterator[Feature],
                         extent: Int = 4096, version: Int = 2): Array[Byte] = {
     val keyIdx = mutable.LinkedHashMap[String, Int]()
-    val valIdx = mutable.LinkedHashMap[String, Int]()
+    val valIdx = mutable.LinkedHashMap[TagValue, Int]()
     val w = new Writer
     w.varintField(15, version.toLong)
     w.stringField(1, name)
     features.foreach { f =>
       val tags = f.properties.flatMap { case (k, v) =>
         val ki = keyIdx.getOrElseUpdate(k, keyIdx.size)
-        val vi = valIdx.getOrElseUpdate(v, valIdx.size)
-        Seq(ki.toLong, vi.toLong)
+        if (v == null) Nil
+        else {
+          val vi = valIdx.getOrElseUpdate(v, valIdx.size)
+          Seq(ki.toLong, vi.toLong)
+        }
       }
       w.bytesField(2, encodeFeature(f, tags))
     }
@@ -147,6 +213,19 @@ object MvtTile {
       i += len
       (s, i)
     }
+    def fixed32(): Int = {
+      val v = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
+        ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24)
+      i += 4
+      v
+    }
+    def fixed64(): Long = {
+      var v = 0L
+      var j = 0
+      while (j < 8) { v |= (bytes(i + j) & 0xFFL) << (8 * j); j += 1 }
+      i += 8
+      v
+    }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
       case 2 => lengthDelim()
@@ -156,9 +235,10 @@ object MvtTile {
     }
   }
 
-  /** Full tile decode — inverse of encodeTile for the schema subset this
-    * engine writes (string Values; reference decode.go ignores tile-level
-    * tags too). Feature tags are resolved back into (key, value) pairs.
+  /** Full tile decode — inverse of encodeTile for the schema this engine
+    * writes (all 7 typed Value variants; reference decode.go ignores
+    * tile-level tags too). Feature tags are resolved back into
+    * (key, TagValue) pairs.
     */
   def decodeTile(bytes: Array[Byte]): IndexedSeq[Layer] = {
     val layers = Vector.newBuilder[Layer]
@@ -178,7 +258,7 @@ object MvtTile {
     var extent = 4096
     var version = 2
     val keys = ArrayBuffer[String]()
-    val values = ArrayBuffer[String]()
+    val values = ArrayBuffer[TagValue]()
     val rawFeatures = ArrayBuffer[(Long, Int, IndexedSeq[Long], IndexedSeq[Int])]()
     val r = new Reader(bytes, start, end)
     while (r.hasNext) {
@@ -237,20 +317,24 @@ object MvtTile {
     (id, gtype, geometry, tags)
   }
 
-  /** Value message: this engine writes string values only (field 1);
-    * other Value variants are rendered via toString for robustness.
+  /** Value message decode — inverse of `encodeValue` across all 7 typed
+    * variants (zigzag undone for sint).
     */
-  private def decodeValue(bytes: Array[Byte], start: Int, end: Int): String = {
+  private def decodeValue(bytes: Array[Byte], start: Int, end: Int): TagValue = {
     val r = new Reader(bytes, start, end)
-    var out = ""
+    var out: TagValue = VString("")
     while (r.hasNext) {
       val t = r.varint()
       val field = (t >> 3).toInt
       val wire = (t & 7).toInt
       (field, wire) match {
-        case (1, 2) => val (s, e) = r.lengthDelim(); out = new String(bytes, s, e - s, "UTF-8")
-        case (4, 0) | (5, 0) | (6, 0) => out = r.varint().toString
-        case (7, 0) => out = (r.varint() != 0).toString
+        case (1, 2) => val (s, e) = r.lengthDelim(); out = VString(new String(bytes, s, e - s, "UTF-8"))
+        case (2, 5) => out = VFloat(java.lang.Float.intBitsToFloat(r.fixed32()))
+        case (3, 1) => out = VDouble(java.lang.Double.longBitsToDouble(r.fixed64()))
+        case (4, 0) => out = VInt(r.varint())
+        case (5, 0) => out = VUint(r.varint())
+        case (6, 0) => val z = r.varint(); out = VSint((z >>> 1) ^ -(z & 1))
+        case (7, 0) => out = VBool(r.varint() != 0)
         case _      => r.skip(wire)
       }
     }

@@ -60,7 +60,8 @@ object Tiler {
     * layer/tile assembly per group. Emits (z, x, y, mvt binary).
     */
   def mvtTiles(spark: org.apache.spark.sql.SparkSession, geoms: DataFrame,
-               idCol: String, z: Int, layerName: String, srid: Int = 4326): DataFrame = {
+               idCol: String, z: Int, layerName: String, srid: Int = 4326,
+               propCols: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     import graft.core.{MvtTile, Slippy}
     // cell assignment INLINE (explode carries the geometry column) — the
@@ -89,9 +90,9 @@ object Tiler {
         withCell.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
     val assigned = prepped
       .withColumn("mvt", st_mvt_geometry(col("prep")))
-      .select(col("cell"), col(idCol).cast("string").as("fid"),
-        col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype"))
-      .as[(Long, String, Array[Long], Int)]
+      .select(Seq(col("cell"), col(idCol).cast("string").as("fid"),
+        col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype")) ++
+        propCols.map(col): _*)
     // DETERMINISTIC + STREAMING tile assembly (round-3): the round-2
     // groupByKey/mapGroups form assembled features in shuffle arrival
     // order, so re-running the sink could produce byte-different (though
@@ -105,24 +106,38 @@ object Tiler {
     // map-side before the shuffle. Sort-based grouping replaces the hash
     // group's in-memory map with spillable sort machinery — the standard
     // 100 TB shape.
+    // Extra property columns ride the same shuffle as typed tag values
+    // (MvtTile.TagValue.of per the Spark column type — string/int/double/
+    // bool/…, reference layer.go:133-190); "fid" stays the first tag, so
+    // with propCols = Nil the tile bytes are unchanged. NULL props are
+    // dropped per-feature like the reference drops nil tags.
+    val propNames = propCols.toIndexedSeq
+    val nFixed = 4 // cell, fid, commands, gtype
     assigned
       .repartition(col("cell"))
       .sortWithinPartitions(col("cell"), col("fid"))
-      .as[(Long, String, Array[Long], Int)]
       .mapPartitions { it =>
         val buf = it.buffered
         new Iterator[(Int, Long, Long, Array[Byte])] {
           def hasNext: Boolean = buf.hasNext
           def next(): (Int, Long, Long, Array[Byte]) = {
-            val cell = buf.head._1
+            val cell = buf.head.getLong(0)
             var i = 0L
             val featIt = new Iterator[MvtTile.Feature] {
-              def hasNext: Boolean = buf.hasNext && buf.head._1 == cell
+              def hasNext: Boolean = buf.hasNext && buf.head.getLong(0) == cell
               def next(): MvtTile.Feature = {
-                val (_, fid, cmds, gt) = buf.next()
+                val r = buf.next()
                 i += 1
-                MvtTile.Feature(i, gt, scala.collection.immutable.ArraySeq.unsafeWrapArray(cmds),
-                  Vector("fid" -> fid))
+                val cmds = r.getSeq[Long](2).toIndexedSeq
+                val props = Vector.newBuilder[(String, MvtTile.TagValue)]
+                props += (("fid", MvtTile.TagValue.VString(r.getString(1))))
+                var p = 0
+                while (p < propNames.length) {
+                  val v = r.get(nFixed + p)
+                  if (v != null) props += ((propNames(p), MvtTile.TagValue.of(v)))
+                  p += 1
+                }
+                MvtTile.Feature(i, r.getInt(3), cmds, props.result())
               }
             }
             val layerBytes = MvtTile.encodeLayerStream(layerName, featIt)

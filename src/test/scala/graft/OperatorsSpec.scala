@@ -272,7 +272,7 @@ class OperatorsSpec extends AnyFunSuite {
     import graft.core.MvtTile
     def feats(n: Int) = (1 to n).map(i =>
       MvtTile.Feature(i.toLong, 1, Vector(9L, (2 * i).toLong, (2 * i + 1).toLong),
-        Vector("fid" -> s"f$i", "kind" -> (if (i % 3 == 0) "a" else "b"))))
+        MvtTile.strProps("fid" -> s"f$i", "kind" -> (if (i % 3 == 0) "a" else "b"))))
     // byte parity on a normal tile
     val normal = feats(50)
     assert(java.util.Arrays.equals(
@@ -370,7 +370,7 @@ class OperatorsSpec extends AnyFunSuite {
     // the hot tile has all 50 features, in fid-string sorted order
     val hot = MvtTile.decodeTile(a((300L, 200L)))
     assert(hot.length == 1 && hot.head.features.length == 50)
-    val fids = hot.head.features.map(_.properties.head._2)
+    val fids = hot.head.features.map(_.properties.head._2.asInstanceOf[MvtTile.TagValue.VString].v)
     assert(fids == fids.sorted, "features not in fid order")
     // feature ids are 1..n in that order
     assert(hot.head.features.map(_.id) == (1L to 50L))
@@ -382,8 +382,8 @@ class OperatorsSpec extends AnyFunSuite {
   test("mvt layer key/value dedup across features") {
     import graft.core.MvtTile._
     val layer = Layer("t", Vector(
-      Feature(1, 3, Vector(9L, 0L, 0L, 15L), Vector("kind" -> "a", "src" -> "x")),
-      Feature(2, 3, Vector(9L, 2L, 2L, 15L), Vector("kind" -> "a", "src" -> "y"))))
+      Feature(1, 3, Vector(9L, 0L, 0L, 15L), strProps("kind" -> "a", "src" -> "x")),
+      Feature(2, 3, Vector(9L, 2L, 2L, 15L), strProps("kind" -> "a", "src" -> "y"))))
     val bytes = encodeLayer(layer)
     // "kind", "src" and "a" must appear exactly once in the wire bytes
     def countOf(s: String): Int = {

@@ -162,12 +162,48 @@ class MvtGeoJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("mvt typed tag values: all 7 Value variants wire-exact + round-trip + typed dedup") {
+    import MvtTile._
+    import MvtTile.TagValue._
+    def le32(v: Int): Array[Byte] = Array.tabulate(4)(i => ((v >>> (8 * i)) & 0xFF).toByte)
+    def le64(v: Long): Array[Byte] = Array.tabulate(8)(i => ((v >>> (8 * i)) & 0xFF).toByte)
+    def frame(msg: Array[Byte]): Array[Byte] = Array[Byte](34, msg.length.toByte) ++ msg
+    val f = Feature(1L, 1, Mvt.encodeGeometry(GPoint((1, 1)))._1, Vector(
+      "s" -> VString("ab"), "f" -> VFloat(1.5f), "d" -> VDouble(-2.25),
+      "i" -> VInt(300L), "u" -> VUint(5L), "z" -> VSint(-3L), "b" -> VBool(true)))
+    val bytes = encodeLayer(Layer("t", Vector(f)))
+    // expected value table: string=1/wire2, float=2/wire5, double=3/wire1,
+    // int=4/varint, uint=5/varint, sint=6/zigzag (-3 → 5), bool=7/varint
+    val expected = Array(
+      frame(Array[Byte](10, 2, 'a'.toByte, 'b'.toByte)),
+      frame(Array[Byte](21) ++ le32(java.lang.Float.floatToIntBits(1.5f))),
+      frame(Array[Byte](25) ++ le64(java.lang.Double.doubleToLongBits(-2.25))),
+      frame(Array[Byte](32, ((300 % 128) + 128).toByte, (300 / 128).toByte)),
+      frame(Array[Byte](40, 5)),
+      frame(Array[Byte](48, 5)),
+      frame(Array[Byte](56, 1))).flatten
+    assert(bytes.sliding(expected.length).exists(_.sameElements(expected)),
+      "typed value table bytes not found in layer")
+    val back = decodeTile(encodeTile(Vector(Layer("t", Vector(f)))))
+    assert(back.head.features.head.properties == f.properties, "typed props round-trip")
+    // dedup is scoped within each variant: VInt(3) vs VSint(3) stay distinct
+    val g = Feature(2L, 1, f.geometry, Vector("a" -> VInt(3L), "b" -> VSint(3L)))
+    val lb = encodeLayer(Layer("t", Vector(g)))
+    val vInt3 = frame(Array[Byte](32, 3))
+    val vSint3 = frame(Array[Byte](48, 6)) // zigzag(3) = 6
+    assert(lb.sliding(4).exists(_.sameElements(vInt3)) && lb.sliding(4).exists(_.sameElements(vSint3)))
+    // nil tags are dropped (reference feature.go:379): null value emits no tag
+    val h = Feature(3L, 1, f.geometry, Vector("a" -> VString("x"), "n" -> null))
+    val hb = decodeTile(encodeTile(Vector(Layer("t", Vector(h)))))
+    assert(hb.head.features.head.properties == Vector("a" -> VString("x")))
+  }
+
   test("mvt full tile decode inverts encodeTile (layers, features, properties)") {
     val f1 = MvtTile.Feature(7L, 1, Mvt.encodeGeometry(GPoint((25, 17)))._1,
-      Vector("name" -> "alpha", "kind" -> "poi"))
+      MvtTile.strProps("name" -> "alpha", "kind" -> "poi"))
     val f2 = MvtTile.Feature(8L, 2,
       Mvt.encodeGeometry(GLineString(P((2, 2), (2, 10), (10, 10))))._1,
-      Vector("name" -> "beta", "kind" -> "poi")) // "kind"→"poi" dedups
+      MvtTile.strProps("name" -> "beta", "kind" -> "poi")) // "kind"→"poi" dedups
     val layerA = MvtTile.Layer("roads", Vector(f1, f2))
     val layerB = MvtTile.Layer("pois", Vector(f1.copy(id = 9L)), extent = 512)
     val bytes = MvtTile.encodeTile(Vector(layerA, layerB))
