@@ -48,10 +48,33 @@ object Projection {
     }
   }
 
+  /** UTM zone CRS (EPSG:326xx north / 327xx south) — a real CURVED
+    * (transverse-mercator) member of the Grid{Srid} family
+    * (tile_grid.go:123-151: the reference reaches these through
+    * go-spatial/proj Convert/Inverse), backed by the series forward/
+    * inverse already in core/Utm.scala:100/141. The zone is pinned, so
+    * the projection is a total function of (lon, lat) like any EPSG CRS.
+    */
+  def utm(zone: Utm.Zone, ellips: Utm.Ellipsoid = Utm.WGS84): Projection = {
+    require(zone.isValid, s"invalid UTM zone $zone")
+    val z0 = zone
+    new Projection {
+      val srid = (if (z0.isNorthern) 32600 else 32700) + z0.number
+      def forward(lon: Double, lat: Double): Pt = {
+        val c = Utm.fromLngLatZone(lon, lat, z0, ellips).get
+        (c.easting, c.northing)
+      }
+      def inverse(x: Double, y: Double): Pt =
+        Utm.toLngLat(Utm.Coord(y, x, z0), ellips).get
+    }
+  }
+
   def forSrid(srid: Int): Option[Projection] = srid match {
-    case 4326 => Some(Epsg4326)
-    case 3857 => Some(Epsg3857)
-    case _    => None
+    case 4326                           => Some(Epsg4326)
+    case 3857                           => Some(Epsg3857)
+    case s if s > 32600 && s <= 32660   => Some(utm(Utm.Zone(s - 32600, 'N')))
+    case s if s > 32700 && s <= 32760   => Some(utm(Utm.Zone(s - 32700, 'M')))
+    case _                              => None
   }
 }
 

@@ -101,6 +101,19 @@ object Utm {
                  ellips: Ellipsoid = WGS84): Option[Coord] = {
     val lng = normalizeLng(lng0)
     val zone = zoneFor(lng, lat).getOrElse(return None)
+    fromLngLatZone(lng0, lat, zone, ellips)
+  }
+
+  /** As `fromLngLat` but with the zone PINNED (EPSG:326xx/327xx semantics:
+    * one zone's transverse-mercator covers the whole CRS, points slightly
+    * outside the 6° band project against the same central meridian). Needed
+    * by the TileGrid projection, where tile corners at low zoom can fall
+    * outside the nominal band.
+    */
+  def fromLngLatZone(lng0: Double, lat: Double, zone: Zone,
+                     ellips: Ellipsoid = WGS84): Option[Coord] = {
+    if (!zone.isValid) return None
+    val lng = normalizeLng(lng0)
     val eccentricity = ellips.eccentricity
     val radius = ellips.radius
     val latRad = toRadian(lat)

@@ -48,6 +48,42 @@ class TileGridSpec extends AnyFunSuite {
     }
   }
 
+  test("Grid(UTM 11) — a real curved CRS: round trips, goldens, extent/cell parity") {
+    // San Diego sits in UTM zone 11, letter S (tile_grid.go:123-151 shape
+    // with a genuine transverse-mercator forward/inverse, not an affine)
+    val zone = Utm.zoneFor(-117.0, 32.66).get
+    assert(zone == Utm.Zone(11, 'S'))
+    val p = Projection.utm(zone)
+    assert(p.srid == 32611)
+    // forward/inverse round-trip near the central meridian (the series
+    // inverse carries the reference's d6*720 quirk; error vanishes as the
+    // meridian distance d → 0 and stays ≪ 1e-6° in-zone)
+    for ((lon, lat) <- Seq((-117.15, 32.6339), (-116.804, 32.6894743), (-117.0, 33.0))) {
+      val (nx, ny) = p.forward(lon, lat)
+      val (lon2, lat2) = p.inverse(nx, ny)
+      assert(math.abs(lon - lon2) < 1e-6 && math.abs(lat - lat2) < 1e-6, s"$lon $lat → $lon2 $lat2")
+    }
+    // FromBounds over the native-projected San Diego box reproduces the
+    // 4326 tile assignment (FromNative = Inverse → shared tile math)
+    val g = TileGrid(p)
+    val (ax, ay) = p.forward(-117.15, 32.6339)
+    val (bx, by) = p.forward(-116.804, 32.6894743)
+    for (z <- Seq(9, 15)) {
+      assert(g.fromBounds(z, ax, ay, bx, by) ==
+        Slippy.fromBounds(z, -117.15, 32.6339, -116.804, 32.6894743), s"z$z")
+    }
+    // FromNative(center(ToNative-extent)) lands back on the tile
+    for ((z, x, y) <- Seq((9, 89, 204), (12, 714, 1635), (15, 5719, 13082))) {
+      val e = g.extent(z, x, y)
+      val c = g.cellAt(z, (e.minx + e.maxx) / 2, (e.miny + e.maxy) / 2)
+      assert((unpackZ(c), unpackX(c), unpackY(c)) == ((z, x.toLong, y.toLong)), s"$z/$x/$y")
+    }
+    // forSrid wires the whole EPSG range
+    assert(Projection.forSrid(32611).get.srid == 32611)
+    assert(Projection.forSrid(32733).get.srid == 32733)
+    assert(Projection.forSrid(32761).isEmpty && Projection.forSrid(32600).isEmpty)
+  }
+
   test("synthetic affine SRID: round trips, tile math consistent") {
     // a local planar CRS: kilometers, offset origin, inverted y
     val p = Projection.affine(990001, sx = 111.32, sy = -110.57, ox = 5000.0, oy = -2000.0)
