@@ -133,38 +133,6 @@ object Knn {
       .filter(col("rk") <= k)
   }
 
-  /** Map-side partial top-k (the shuffle-volume analogue of the reference
-    * kd-tree iterator's best-first rule — kdtree/nearest_neighbor_iterator
-    * .go:98-189: never carry what cannot be in the answer): before the qid
-    * window exchange, each candidate-join output partition keeps only its
-    * own k best rows per qid under the SAME total order the global window
-    * uses (dist2 asc, nid asc). Any row of the true global top-k is by
-    * definition within its partition's top-k, and each partition keeps
-    * min(k, n_p) rows so the post-window candidate COUNT min(k, Σ kept) =
-    * min(k, total) — exactness and the n_cand certification are unchanged
-    * while the exchange carries O(k · |queries| · partitions) instead of
-    * every (query, candidate) pair (~(candidates/k)× less).
-    *
-    * Implemented as a partition-LOCAL sort (SortExec global=false — no
-    * exchange, externally spillable) + a streaming first-k-per-qid pass;
-    * a hashmap-of-heaps was rejected because its memory is O(qids/partition
-    * · k) with no spill path.
-    */
-  private def localTopK(cands: DataFrame, k: Int): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(cands.schema)
-    cands.sortWithinPartitions(col("qid"), col("dist2"), col("nid"))
-      .mapPartitions { it =>
-        var cur: Any = null
-        var cnt = 0
-        var seen = false
-        it.filter { r =>
-          val q = r.get(0) // qid — first column by construction below
-          if (!seen || q != cur) { seen = true; cur = q; cnt = 1; true }
-          else { cnt += 1; cnt <= k }
-        }
-      }(enc)
-  }
-
   /** one grid level: returns (certified exact results, uncertified queries). */
   private def knnLevel(queries: DataFrame, points: DataFrame, k: Int,
                        z: Int): (DataFrame, DataFrame) = {
@@ -206,11 +174,25 @@ object Knn {
       when(col("qtx") === maxT, inf).otherwise(blockMaxX - col("qlon")),
       when(col("qty") === 0, inf).otherwise(blockMaxY - col("qlat")),
       when(col("qty") === maxT, inf).otherwise(col("qlat") - blockMinY))
-    val cands = qCells.join(p, Seq("tx", "ty"))
+    // MAP-SIDE PARTIAL TOP-K is already in the executed plan: because the
+    // rank is a row_number window immediately filtered by rk <= k,
+    // Catalyst's InferWindowGroupLimit compiles it to
+    // WindowGroupLimitExec(Partial) BELOW the qid exchange (each map
+    // partition locally sorts and keeps <= k rows per qid) + Final above —
+    // the exchange already carries O(k · |queries| · partitions), never
+    // every (query, candidate) pair. A hand-rolled sortWithinPartitions +
+    // first-k-per-qid mapPartitions pass was built and measured in round
+    // 4: shuffle bytes/records IDENTICAL to this plan (graft.ShuffleProbe,
+    // 1,733,548 B / 100,797 records both ways at sf0.1) and ~12% slower
+    // at local[32] (the duplicated sort + a codegen break) — the
+    // declarative window + filter form IS the optimized form. This is the
+    // shuffle-volume analogue of the reference kd-tree iterator's
+    // best-first rule (kdtree/nearest_neighbor_iterator.go:98-189: never
+    // carry what cannot be in the answer).
+    val ranked = materialize(qCells.join(p, Seq("tx", "ty"))
       .filter(col("qid") =!= col("pid"))
       .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
         col("pid").as("nid"), d2.as("dist2"))
-    val ranked = materialize(localTopK(cands, k)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .withColumn("kth_dist2", max(col("dist2")).over(wq))
