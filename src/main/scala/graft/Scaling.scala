@@ -45,6 +45,14 @@ object Scaling {
     */
   val Q33Tier = sys.env.getOrElse("SPARK_GRAFT_Q33_TIER", "32").toInt
 
+  /** q30 tier: the recorded ×480 pair's hi side finished in 15.1 s —
+    * scan/overhead-bound (the round-3 GC A/B showed that regime's hi side
+    * doesn't move with executor speed), biasing the ratio low (0.72).
+    * ×960 doubles both sides so the 4-executor side spends tens of
+    * seconds in real work.
+    */
+  val Q30Tier = sys.env.getOrElse("SPARK_GRAFT_Q30_TIER", "960").toInt
+
   private val plan: Seq[(String, Int)] = Seq(
     "q33_pipeline_op" -> Q33Tier,
     "q21_knn_cell" -> 48,
@@ -52,7 +60,7 @@ object Scaling {
     "q29_makevalid" -> 48,
     "q01_tile_assign" -> 480,
     "q03_pip_join" -> 480,
-    "q30_mvt_prepare" -> 480)
+    "q30_mvt_prepare" -> Q30Tier)
 
   private def dirFor(factor: Int) = s"/tmp/graft_scaled$factor"
 
@@ -210,6 +218,12 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     activePlan.map(_._2).distinct.foreach(f => prepareScaled(base, f))
+    // replica builds are heavy IO; building and measuring in one window
+    // corrupts the pre-measurement bandwidth bracket — prepare separately
+    if (sys.env.contains("SPARK_GRAFT_PREPARE_ONLY")) {
+      System.err.println("prepare-only: replicas ready, exiting")
+      return
+    }
 
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "32").toInt

@@ -41,6 +41,48 @@ class OperatorsSpec extends AnyFunSuite {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("kNN under 100x hot-cell skew: exact results, bounded task times") {
+    import spark.implicits._
+    // synthetic skew: a uniform background plus one urban cluster packing
+    // ~100x the background cell density into a single grid cell at the
+    // operator's zoom (VERDICT round-3 'dense cell' shape, kdtree.go:22-77
+    // concern). Deterministic: no RNG, golden-ratio decimals.
+    val background = (0L until 2000L).map { i =>
+      (i, (i * 0.618033988749895 % 1.0) * 80.0 - 40.0, (i * 0.414213562373095 % 1.0) * 60.0 - 30.0)
+    }
+    val hot = (10000L until 12000L).map { i =>
+      // all inside a ~0.15 degree box near (10.1, 10.1): one z8-z9 cell
+      (i, 10.1 + (i % 47) * 0.003, 10.1 + (i % 53) * 0.0028)
+    }
+    val pts = (background ++ hot).toDF("pid", "lon", "lat").repartition(8)
+    val qs = pts.filter(col("pid") % 11 === 0)
+      .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    // task-time spread via listener: the dense cell must not serialize the
+    // stage into one monster task
+    val durations = scala.collection.mutable.ArrayBuffer[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskInfo != null) durations.synchronized { durations += t.taskInfo.duration }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = Knn.knnJoin(qs, pts, k = 3, z = 8)
+    val want = bruteKnn(qs, pts, 3)
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "skewed kNN diverges from brute force")
+    Thread.sleep(1000)
+    spark.sparkContext.removeSparkListener(listener)
+    val ds = durations.synchronized(durations.toVector).sorted
+    assert(ds.nonEmpty)
+    // bounded: no task may dominate the whole job (the dense cell's pairs
+    // flow through WindowGroupLimit(Partial) per map partition and the
+    // query side is broadcast, so the hot cell's points stay spread over
+    // the input splits rather than funneling into one task)
+    val total = ds.sum.toDouble
+    assert(ds.last < total * 0.5,
+      s"one task took ${ds.last} ms of ${total.toLong} ms total across ${ds.size} tasks")
+  }
+
   test("LSH ANN recall against brute-force cosine top-k") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
