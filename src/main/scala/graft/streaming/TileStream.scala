@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeomFunctions._
+
+/** Streaming tile pipeline — the tiler's shapes on an unbounded input
+  * (SURVEY §2.13 / the Structured Streaming axis of the brief).
+  *
+  * Scale shape mirrors the batch tiler exactly: the cell encode is a
+  * per-row vectorized expression (map-side, codegen), the only stateful
+  * operator is the windowed aggregation keyed by (event-time window,
+  * cell) whose state evicts on the watermark — state size is bounded by
+  * (active windows × occupied cells), never by stream length. At 10^12
+  * docs/day the same plan runs with a shuffle on (window, cell) and
+  * RocksDB-backed state exactly as the local state store here.
+  */
+object TileStream {
+
+  /** Watermarked per-tile feature counts (the q02 rollup as a stream):
+    * input must carry event-time `ts` plus `lon`/`lat`. Append mode —
+    * a (window, tile) row finalizes when the watermark passes the
+    * window close, giving exactly-once per-window tile counts.
+    */
+  def tileCounts(pts: DataFrame, z: Int,
+                 windowDur: String = "1 hour",
+                 watermarkDelay: String = "0 seconds"): DataFrame =
+    pts
+      .withWatermark("ts", watermarkDelay)
+      .withColumn("cell", st_cell_at(col("lon"), col("lat"), lit(z)))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("cell"))
+      .agg(count(lit(1)).as("n_features"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"),
+        col("n_features"))
+
+  /** The same aggregation on a bounded frame — tests prove stream/batch
+    * parity against this (the Sessionize pattern).
+    */
+  def tileCountsBatch(pts: DataFrame, z: Int, windowDur: String = "1 hour"): DataFrame =
+    pts
+      .withColumn("cell", st_cell_at(col("lon"), col("lat"), lit(z)))
+      .groupBy(window(col("ts"), windowDur).as("w"), col("cell"))
+      .agg(count(lit(1)).as("n_features"))
+      .select(unix_micros(col("w.start")).as("w_start_us"),
+        st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"),
+        col("n_features"))
+
+  /** Streaming MVT emission: geometries → finished per-tile protobuf
+    * bytes, one tile set per micro-batch via foreachBatch — the batch
+    * sink (deterministic, byte-stable, streaming assembly) reused
+    * unchanged as the streaming epoch writer. `collect` receives
+    * (batchId, z, x, y, bytes); a production caller would write each
+    * epoch to object storage keyed by (epoch, z, x, y), which is
+    * idempotent under micro-batch replay because the sink's bytes are a
+    * pure function of the batch contents (round-3 determinism gate).
+    */
+  def mvtTileStream(spark: SparkSession, geoms: DataFrame, idCol: String,
+                    z: Int, layerName: String, srid: Int = 4326)
+                   (collect: (Long, DataFrame) => Unit)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    geoms.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        collect(batchId,
+          graft.operators.Tiler.mvtTiles(spark, batch.toDF(), idCol, z, layerName, srid))
+      }
+      .start()
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.TileStream
+
+/** Streaming tile pipeline: watermark-finalized per-tile counts match the
+  * batch rollup, and the MVT sink emits byte-stable tiles per micro-batch
+  * through foreachBatch.
+  */
+class TileStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("watermarked streaming tile counts finalize to the batch rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic timestamped points: hour-0 rows are the measured
+    // window; a single hour-3 row pushes the watermark past hour 0 so
+    // append mode finalizes it
+    val hour0 = (0L until 500L).map { i =>
+      (i, (i % 73).toDouble - 36.0, (i % 59).toDouble - 29.0, i * 1000000L)
+    }
+    val pusher = Seq((9999L, 0.0, 0.0, 3L * 3600L * 1000000L))
+    val input = MemoryStream[(Long, Double, Double, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("pid", "lon", "lat", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = TileStream.tileCounts(shape(input.toDF()), z = 9,
+        windowDur = "1 hour", watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("tile_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(hour0.take(250))
+      q.processAllAvailable()
+      input.addData(hour0.drop(250))
+      q.processAllAvailable()
+      input.addData(pusher)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM tile_stream_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = TileStream.tileCountsBatch(shape(hour0.toDF()), z = 9, windowDur = "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "no finalized windows emitted")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
+
+  test("foreachBatch MVT sink: per-epoch tiles byte-identical to batch-mode tiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val geomRows = SparkEntry.q33Input(spark, dir)
+      .filter(col("pid") < 300).dropDuplicates("pid")
+      .select(col("pid"), col("geom"))
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val input = MemoryStream[(Long, Array[Byte])]
+    input.addData(geomRows.toSeq)
+    val got = scala.collection.mutable.Map[(Long, Long), Array[Byte]]()
+    val q = TileStream.mvtTileStream(spark,
+        input.toDF().toDF("pid", "geom"), "pid", 9, "features", srid = 3857) {
+      (_, tiles) =>
+        tiles.collect().foreach(r =>
+          got.synchronized { got((r.getLong(1), r.getLong(2))) = r.getAs[Array[Byte]]("mvt") })
+    }
+    try q.processAllAvailable() finally q.stop()
+    val want = graft.operators.Tiler.mvtTiles(spark,
+        geomRows.toSeq.toDF("pid", "geom"), "pid", 9, "features", srid = 3857)
+      .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getAs[Array[Byte]]("mvt"))).toMap
+    assert(got.nonEmpty && got.keySet == want.keySet, s"${got.size} vs ${want.size} tiles")
+    want.foreach { case (k, b) =>
+      assert(java.util.Arrays.equals(got(k), b), s"tile $k bytes differ from batch sink")
+    }
+  }
+}
