@@ -605,6 +605,37 @@ object SparkEntry {
           }
           (x, y, b.length.toLong, acc)
         }.toDF("x", "y", "n_bytes", "bhash")
+    }),
+
+    "q46_geojson_feature" -> ((s, dir) => {
+      // GeoJSON Feature codec gate (geojson.go:44-123, 297-319): encode a
+      // Feature per point (id + geometry + sorted-key properties, Go wire
+      // shape), char-hash the STRING, and decode it back through the
+      // case-insensitive Unmarshal dispatch — both directions in one gate.
+      // Coordinates quantized to quarters (exact dyadic) so Java and
+      // DuckDB double formatting agree character-for-character.
+      import s.implicits._
+      Synth.points(s, dir)
+        .select(col("pid"),
+          (floor(col("lon") * 4) / 4.0).as("x"),
+          (floor(col("lat") * 4) / 4.0).as("y"))
+        .as[(Long, Double, Double)]
+        .map { case (pid, x, y) =>
+          import graft.core.{GeoJson, Geom}
+          val json = GeoJson.encodeFeature(GeoJson.Feature(
+            Some(Geom.GPoint((x, y))), id = Some(pid),
+            properties = Some(Map("name" -> ("p" + pid), "rank" -> (pid % 100)))))
+          val back = GeoJson.decodeFeatureOrCollection(json)
+            .swap.getOrElse(sys.error("feature decode dispatch failed"))
+          var acc = 0L
+          var i = 0
+          while (i < json.length) {
+            acc = (acc * 31 + json.charAt(i)) % 1000000000000007L
+            i += 1
+          }
+          (pid, json.length.toLong, acc, back.id.get,
+            back.properties.get("rank").asInstanceOf[Long])
+        }.toDF("pid", "n_chars", "jhash", "rid", "rrank")
     })
   )
 
@@ -955,6 +986,23 @@ object SparkEntry {
       "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tbytes, c -> CAST(c AS BIGINT))), " +
       "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT) AS bhash FROM tb")
     },
+    // the GeoJSON Feature wire string rebuilt character-for-character in
+    // SQL (quarter-quantized coords make Java/DuckDB double formatting
+    // agree), hashed with the q43 rolling hash over ascii codes
+    "q46_geojson_feature" -> {
+      val hash = "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(range(1, CAST(length(json) AS BIGINT) + 1), " +
+        "i -> CAST(ascii(substr(json, CAST(i AS INTEGER), 1)) AS BIGINT))), " +
+        "(acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT)"
+      (s"WITH $P, f AS (SELECT pid, floor(lon * 4) / 4 AS x, floor(lat * 4) / 4 AS y FROM pts), " +
+      "j AS (SELECT pid, '{\"type\":\"Feature\",\"id\":' || CAST(pid AS VARCHAR) || " +
+      "',\"geometry\":{\"type\":\"Point\",\"coordinates\":[' || CAST(x AS VARCHAR) || ',' || " +
+      "CAST(y AS VARCHAR) || ']},\"properties\":{\"name\":\"p' || CAST(pid AS VARCHAR) || " +
+      "'\",\"rank\":' || CAST(pid % 100 AS VARCHAR) || '}}' AS json FROM f) " +
+      s"SELECT pid, CAST(length(json) AS BIGINT) AS n_chars, $hash AS jhash, " +
+      "pid AS rid, pid % 100 AS rrank FROM j")
+    },
+
     // the one-pass LSH near-dup pairs: 16-perm MinHash signatures (the
     // q24 permutation family), 4 bands x 4 rows, candidate pairs from
     // shared band buckets, emitted only from the FIRST shared band,

@@ -132,4 +132,155 @@ object GeoJson {
   }
 
   def decode(s: String): Geometry = decodeNode(mapper.readTree(s))
+
+  // ---------- Feature / FeatureCollection (geojson.go:297-319, 44-123) --
+
+  /** reference Feature struct: type, optional uint64 id, nullable
+    * geometry, nullable properties map.
+    */
+  final case class Feature(geometry: Option[Geometry],
+                           id: Option[Long] = None,
+                           properties: Option[Map[String, Any]] = None)
+
+  /** Go encoding/json string escaping: quotes, backslash, control chars,
+    * and the HTML set (< > &) as \u00XX — json.Marshal's default
+    * SetEscapeHTML(true) behavior, for byte parity with the reference.
+    */
+  private def jsonString(b: StringBuilder, s: String): Unit = {
+    b.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case '<'  => b.append("\\u003c")
+        case '>'  => b.append("\\u003e")
+        case '&'  => b.append("\\u0026")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c    => b.append(c)
+      }
+      i += 1
+    }
+    b.append('"')
+  }
+
+  /** property values per Go json type-default encoding; maps emit keys
+    * SORTED (Go marshals map[string]interface{} in key order).
+    */
+  private def jsonValue(b: StringBuilder, v: Any): Unit = v match {
+    case null            => b.append("null")
+    case s: String       => jsonString(b, s)
+    case x: Long         => b.append(x)
+    case x: Int          => b.append(x)
+    case x: Double       => if (x == x.floor && !x.isInfinite && math.abs(x) < 1e15) b.append(x.toLong) else b.append(x)
+    case x: Boolean      => b.append(x)
+    case m: Map[_, _] =>
+      b.append('{')
+      val entries = m.toSeq.map { case (k, vv) => (String.valueOf(k), vv) }.sortBy(_._1)
+      var first = true
+      entries.foreach { case (k, vv) =>
+        if (!first) b.append(','); first = false
+        jsonString(b, k); b.append(':'); jsonValue(b, vv)
+      }
+      b.append('}')
+    case xs: Seq[_] =>
+      b.append('[')
+      var first = true
+      xs.foreach { x => if (!first) b.append(','); first = false; jsonValue(b, x) }
+      b.append(']')
+    case other => jsonString(b, String.valueOf(other))
+  }
+
+  private def encodeFeatureInto(b: StringBuilder, f: Feature): Unit = {
+    b.append("{\"type\":\"Feature\"")
+    f.id.foreach(i => b.append(",\"id\":").append(i))
+    b.append(",\"geometry\":")
+    f.geometry match {
+      case Some(g) => encodeInto(b, g)
+      case None    => b.append("null")
+    }
+    b.append(",\"properties\":")
+    f.properties match {
+      case Some(p) => jsonValue(b, p)
+      case None    => b.append("null")
+    }
+    b.append('}')
+  }
+
+  def encodeFeature(f: Feature): String = {
+    val b = new StringBuilder(128)
+    encodeFeatureInto(b, f)
+    b.toString
+  }
+
+  def encodeFeatureCollection(fs: Seq[Feature]): String = {
+    val b = new StringBuilder(256)
+    b.append("{\"type\":\"FeatureCollection\",\"features\":[")
+    var i = 0
+    fs.foreach { f =>
+      if (i > 0) b.append(',')
+      encodeFeatureInto(b, f)
+      i += 1
+    }
+    b.append("]}")
+    b.toString
+  }
+
+  private def anyOf(n: JsonNode): Any =
+    if (n == null || n.isNull) null
+    else if (n.isTextual) n.asText
+    else if (n.isBoolean) n.asBoolean
+    else if (n.isIntegralNumber) n.asLong
+    else if (n.isNumber) n.asDouble
+    else if (n.isArray) (0 until n.size).map(i => anyOf(n.get(i))).toVector
+    else if (n.isObject) {
+      val it = n.fields()
+      val mb = scala.collection.immutable.ListMap.newBuilder[String, Any]
+      while (it.hasNext) { val e = it.next(); mb += ((e.getKey, anyOf(e.getValue))) }
+      mb.result()
+    } else n.toString
+
+  /** Go json.Unmarshal matches struct fields case-insensitively (exact
+    * match preferred) — mirror that for the Feature-level keys.
+    */
+  private def fieldCI(n: JsonNode, name: String): Option[JsonNode] =
+    Option(n.get(name)).orElse {
+      val it = n.fields()
+      var found: Option[JsonNode] = None
+      while (found.isEmpty && it.hasNext) {
+        val e = it.next()
+        if (e.getKey.equalsIgnoreCase(name)) found = Some(e.getValue)
+      }
+      found
+    }
+
+  private def featureOf(n: JsonNode): Feature = {
+    val g = fieldCI(n, "geometry").filterNot(_.isNull).map(decodeNode)
+    val id = fieldCI(n, "id").filterNot(_.isNull).map(_.asLong)
+    val props = fieldCI(n, "properties").filterNot(_.isNull)
+      .map(p => anyOf(p).asInstanceOf[Map[String, Any]])
+    Feature(g, id, props)
+  }
+
+  /** reference Unmarshal (geojson.go:97-123): dispatch on the lowercased
+    * type field; Feature and FeatureCollection only, anything else is
+    * ErrUnknownFeatureType.
+    */
+  def decodeFeatureOrCollection(s: String): Either[Feature, Seq[Feature]] = {
+    val n = mapper.readTree(s)
+    val tpe = fieldCI(n, "type").map(_.asText.toLowerCase).getOrElse(
+      throw new GeoJsonException("missing type"))
+    tpe match {
+      case "feature" => Left(featureOf(n))
+      case "featurecollection" =>
+        val fs = fieldCI(n, "features").getOrElse(
+          throw new GeoJsonException("missing features"))
+        Right((0 until fs.size).map(i => featureOf(fs.get(i))))
+      case other => throw new GeoJsonException(s"unknown feature type $other")
+    }
+  }
 }

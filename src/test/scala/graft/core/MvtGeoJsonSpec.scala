@@ -213,4 +213,43 @@ class MvtGeoJsonSpec extends AnyFunSuite {
     val g = Mvt.decodeGeometry(back(0).features(0).geomType, back(0).features(0).geometry)
     assert(g == Right(Some(GPoint((25.0, 17.0)))))
   }
+
+  test("geojson Feature / FeatureCollection encode + Unmarshal dispatch (geojson.go:44-123,297-319)") {
+    import GeoJson.Feature
+    // wire shape: id omitted when absent, geometry/properties null when
+    // absent, property map keys SORTED (Go map marshal), HTML escaping
+    val f0 = Feature(Some(GPoint((25.0, 17.0))))
+    assert(GeoJson.encodeFeature(f0) ==
+      """{"type":"Feature","geometry":{"type":"Point","coordinates":[25.0,17.0]},"properties":null}""")
+    val f1 = Feature(Some(GPoint((1.0, 2.0))), id = Some(42L),
+      properties = Some(Map("name" -> "a<b", "count" -> 3L, "score" -> 1.5, "ok" -> true, "nil" -> null)))
+    val enc = GeoJson.encodeFeature(f1)
+    // NB: "\\u003c" in a normal-quoted string = the literal 6 chars \u003c
+    // (Scala 2 pre-processes \uXXXX even inside triple quotes)
+    val escapedName = "\"a\\u003cb\""
+    assert(enc ==
+      """{"type":"Feature","id":42,"geometry":{"type":"Point","coordinates":[1.0,2.0]},""" +
+      """"properties":{"count":3,"name":""" + escapedName +
+      ""","nil":null,"ok":true,"score":1.5}}""", enc)
+    // null geometry is legal (reference: "Geometry can be null")
+    assert(GeoJson.encodeFeature(Feature(None)) ==
+      """{"type":"Feature","geometry":null,"properties":null}""")
+    // round-trip through the case-insensitive Unmarshal dispatch
+    val back = GeoJson.decodeFeatureOrCollection(enc)
+    assert(back == Left(f1.copy(properties = Some(Map(
+      "count" -> 3L, "name" -> "a<b", "nil" -> null, "ok" -> true, "score" -> 1.5)))))
+    val fc = GeoJson.encodeFeatureCollection(Seq(f0, f1))
+    assert(fc.startsWith("""{"type":"FeatureCollection","features":["""))
+    val backFc = GeoJson.decodeFeatureOrCollection(fc)
+    assert(backFc.isRight && backFc.toOption.get.length == 2)
+    assert(GeoJson.decodeFeatureOrCollection("""{"TYPE":"FEATURE","geometry":null}""")
+      == Left(Feature(None)), "lowercased dispatch (strings.ToLower)")
+    intercept[GeoJson.GeoJsonException] {
+      GeoJson.decodeFeatureOrCollection("""{"type":"Point","coordinates":[1,2]}""")
+    } // reference: ErrUnknownFeatureType for bare geometries
+    // polygon rings close on encode inside a feature
+    val poly = Feature(Some(GPolygon(Vector(P((0, 0), (4, 0), (4, 4))))))
+    assert(GeoJson.encodeFeature(poly).contains(
+      "[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]]"))
+  }
 }
