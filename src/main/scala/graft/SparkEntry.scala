@@ -636,6 +636,18 @@ object SparkEntry {
           (pid, json.length.toLong, acc, back.id.get,
             back.properties.get("rank").asInstanceOf[Long])
         }.toDF("pid", "n_chars", "jhash", "rid", "rrank")
+    }),
+
+    "q47_neardup_exact" -> ((s, dir) => {
+      // exact n-gram Jaccard dedup: LSH bands for recall (any shared
+      // band), exact word-3-shingle set Jaccard for precision, shingle
+      // sets joined back per candidate (never shipped through the band
+      // explode). Completes the dedup family: exact-hash / MinHash-est /
+      // SimHash / embedding-cosine / exact n-gram Jaccard.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Dedup.nearDupPairsExact(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
     })
   )
 
@@ -1026,6 +1038,30 @@ object SparkEntry {
       + "CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard "
       + "FROM pr "
       + "WHERE CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5")
+    },
+
+    // exact n-gram Jaccard: q44's band machinery as the recall stage (any
+    // shared band, first-shared-band dedupe, NO estimate threshold), then
+    // exact shingle-set Jaccard — distinct intersection over distinct union
+    "q47_neardup_exact" -> {
+      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), "
+      + "sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+      + "ELSE list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles FROM w), "
+      + "h AS (SELECT doc_id, list_transform(shingles, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+      + "list_transform(range(1, CAST(length(s) AS BIGINT) + 1), j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT))), "
+      + "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM sh), "
+      + "sg AS (SELECT doc_id, hs, [list_min(list_transform(hs, h -> ((1 * h) + 1) % 1000000007)), list_min(list_transform(hs, h -> ((3 * h) + 2) % 1000000007)), list_min(list_transform(hs, h -> ((5 * h) + 5) % 1000000007)), list_min(list_transform(hs, h -> ((7 * h) + 10) % 1000000007)), list_min(list_transform(hs, h -> ((9 * h) + 17) % 1000000007)), list_min(list_transform(hs, h -> ((11 * h) + 26) % 1000000007)), list_min(list_transform(hs, h -> ((13 * h) + 37) % 1000000007)), list_min(list_transform(hs, h -> ((15 * h) + 50) % 1000000007)), list_min(list_transform(hs, h -> ((17 * h) + 65) % 1000000007)), list_min(list_transform(hs, h -> ((19 * h) + 82) % 1000000007)), list_min(list_transform(hs, h -> ((21 * h) + 101) % 1000000007)), list_min(list_transform(hs, h -> ((23 * h) + 122) % 1000000007)), list_min(list_transform(hs, h -> ((25 * h) + 145) % 1000000007)), list_min(list_transform(hs, h -> ((27 * h) + 170) % 1000000007)), list_min(list_transform(hs, h -> ((29 * h) + 197) % 1000000007)), list_min(list_transform(hs, h -> ((31 * h) + 226) % 1000000007))] AS sig FROM h), "
+      + "bb AS (SELECT doc_id, hs, sig, "
+      + "(((((((((sig[1]) * 31 + sig[2]) % 1000000007)) * 31 + sig[3]) % 1000000007)) * 31 + sig[4]) % 1000000007) AS h0, (((((((((sig[5]) * 31 + sig[6]) % 1000000007)) * 31 + sig[7]) % 1000000007)) * 31 + sig[8]) % 1000000007) AS h1, (((((((((sig[9]) * 31 + sig[10]) % 1000000007)) * 31 + sig[11]) % 1000000007)) * 31 + sig[12]) % 1000000007) AS h2, (((((((((sig[13]) * 31 + sig[14]) % 1000000007)) * 31 + sig[15]) % 1000000007)) * 31 + sig[16]) % 1000000007) AS h3 FROM sg), "
+      + "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.hs AS ha, b.hs AS hb "
+      + "FROM bb a JOIN bb b ON a.doc_id < b.doc_id "
+      + "CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) t "
+      + "WHERE (CASE t.band WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1 WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END) "
+      + "AND (t.band < 1 OR a.h0 <> b.h0) AND (t.band < 2 OR a.h1 <> b.h1) AND (t.band < 3 OR a.h2 <> b.h2)), "
+      + "ex AS (SELECT doc_a, doc_b, "
+      + "CAST(len(list_filter(list_distinct(ha), x -> list_contains(hb, x))) AS DOUBLE) AS inter, "
+      + "CAST(len(list_distinct(ha || hb)) AS DOUBLE) AS uni FROM pr) "
+      + "SELECT doc_a, doc_b, inter / uni AS jaccard FROM ex WHERE inter / uni >= 0.5")
     },
 
     "q34_ann_lsh" -> {

@@ -105,6 +105,7 @@ object GeomFunctions {
   def doc_fingerprint(text: Column): Column = col(StFingerprint(ex(text)))
   def minhash(text: Column, numPerms: Column): Column = col(StMinHash(ex(text), ex(numPerms)))
   def simhash(text: Column): Column = col(StSimHash(ex(text)))
+  def shingle_hashes(text: Column): Column = col(StShingleHashes(ex(text)))
   def hamming(a: Column, b: Column): Column = col(StHamming(ex(a), ex(b)))
 
   /** Every function, by SQL name — one registry entry each. */
@@ -157,6 +158,7 @@ object GeomFunctions {
     "doc_fingerprint" -> (a => StFingerprint(a(0))),
     "minhash" -> (a => StMinHash(a(0), a(1))),
     "simhash" -> (a => StSimHash(a(0))),
+    "shingle_hashes" -> (a => StShingleHashes(a(0))),
     "hamming" -> (a => StHamming(a(0), a(1)))
   )
 

@@ -99,6 +99,21 @@ case class StMinHash(text: Expression, numPerms: Expression) extends GeomExpr {
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0), c(1))
 }
 
+/** shingle fingerprint array (the minhash input set, exposed): word
+  * 3-gram shingles → rolling hash each. Duplicates retained — consumers
+  * use set operations (array_intersect/union) which dedupe.
+  */
+case class StShingleHashes(text: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] = Seq(StringType)
+  override def children: Seq[Expression] = Seq(text)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalN(v: Array[Any]): Any =
+    new GenericArrayData(
+      TextKernels.shingles(TextKernels.tokens(v(0).asInstanceOf[UTF8String].toString))
+        .map(TextKernels.fingerprint))
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) = copy(c(0))
+}
+
 case class StSimHash(child: Expression) extends GeomExpr {
   override def inputTypesImpl: Seq[DataType] = Seq(StringType)
   override def children: Seq[Expression] = Seq(child)

@@ -83,6 +83,32 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Exact n-gram (word 3-shingle) Jaccard near-dup: the classic
+    * two-stage shape — LSH banding for RECALL (any shared band emits a
+    * candidate, threshold 0 on the estimate), then exact set Jaccard for
+    * PRECISION. The shingle sets are joined back per candidate rather
+    * than carried through the band explode: shipping each doc's full
+    * shingle array through `bands` replicas would shuffle ~bands× the
+    * corpus text, while the join-back shuffles the compact (doc,
+    * shingles) frame once against a candidate set that is tiny by
+    * construction. array_intersect/array_union give exact set semantics
+    * (duplicates deduped).
+    */
+  def nearDupPairsExact(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 4, rowsPerBand: Int = 4,
+                        threshold: Double = 0.5): DataFrame = {
+    val cands = nearDupPairs(docs, idCol, textCol, bands, rowsPerBand, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"))
+    val sh = docs.select(col(idCol).as("doc"), shingle_hashes(col(textCol)).as("sh"))
+    cands
+      .join(sh.select(col("doc").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(sh.select(col("doc").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: hamming distance ≤ maxDist inside identical
     * high-bit prefixes (cheap blocking for the common near-identical case).
     */
