@@ -176,7 +176,15 @@ object GeoJson {
     case s: String       => jsonString(b, s)
     case x: Long         => b.append(x)
     case x: Int          => b.append(x)
-    case x: Double       => if (x == x.floor && !x.isInfinite && math.abs(x) < 1e15) b.append(x.toLong) else b.append(x)
+    case x: Double =>
+      // Go json.Marshal errors on non-finite floats (unsupported value)
+      if (x.isNaN || x.isInfinite)
+        throw new GeoJsonException(s"unsupported property value: $x")
+      if (x == x.floor && math.abs(x) < 1e15) b.append(x.toLong) else b.append(x)
+    case x: Float =>
+      if (x.isNaN || x.isInfinite)
+        throw new GeoJsonException(s"unsupported property value: $x")
+      if (x == x.floor && math.abs(x) < 1e7) b.append(x.toLong) else b.append(x)
     case x: Boolean      => b.append(x)
     case m: Map[_, _] =>
       b.append('{')

@@ -55,6 +55,7 @@ object MakeValid {
     val raw = new Scratch.SegBuf
     val split = new Scratch.SegBuf
     var order = new Array[Int](256)
+    var order2: Array[Int] = new Array[Int](256) // merge-sort scratch
     val result = new Scratch.SegBuf
   }
   private val mvScratch = new ThreadLocal[MvScratch] {
@@ -171,40 +172,38 @@ object MakeValid {
         if (rr) false else a < b
       }
     }
-    // Hybrid quicksort over the index array (Sweep.SweepScratch pattern):
-    // the index tiebreak above makes `lt` a TOTAL order, so any comparison
-    // sort yields the identical permutation — O(n log n) where the former
-    // insertion sort was O(n²) on large split-segment sets (unclipped
-    // coastline multipolygons reach 10^4-10^5 segments through the public
-    // st_makevalid path).
-    def insertionRange(lo: Int, hi: Int): Unit = {
-      var a = lo + 1
-      while (a <= hi) {
-        val v = order(a)
-        var j = a - 1
-        while (j >= lo && lt(v, order(j))) { order(j + 1) = order(j); j -= 1 }
-        order(j + 1) = v
-        a += 1
-      }
-    }
-    def quick(lo0: Int, hi0: Int): Unit = {
-      var l = lo0; var h = hi0
-      while (l < h) {
-        if (h - l < 12) { insertionRange(l, h); return }
-        val p = order((l + h) >>> 1)
-        var a = l; var b = h
-        while (a <= b) {
-          while (lt(order(a), p)) a += 1
-          while (lt(p, order(b))) b -= 1
-          if (a <= b) {
-            val t = order(a); order(a) = order(b); order(b) = t
-            a += 1; b -= 1
-          }
+    // Bottom-up index MERGE sort — O(n log n) where the former insertion
+    // sort was O(n²) on large split-segment sets (unclipped coastline
+    // multipolygons reach 10^4-10^5 segments through the public
+    // st_makevalid path). Merge sort, not quicksort, deliberately: `lt`
+    // mixes exact (!=) primaries with tolerance-based (cmp.float)
+    // fallbacks, so it is not guaranteed antisymmetric on near-coincident
+    // split points; a Hoare partition can mis-scan under an inconsistent
+    // comparator, while merging only ever reads inside its two runs and
+    // stays stable (ties and inconsistent pairs resolve to the left run —
+    // the insertion-sort-compatible choice) whatever `lt` answers.
+    if (sc.order2 == null || sc.order2.length < order.length)
+      sc.order2 = new Array[Int](order.length)
+    val buf = sc.order2
+    var width = 1
+    while (width < nsegs.n) {
+      var lo = 0
+      while (lo < nsegs.n - width) {
+        val mid = lo + width
+        val hi = math.min(lo + 2 * width, nsegs.n)
+        var a = lo; var b = mid; var o = lo
+        while (a < mid && b < hi) {
+          if (lt(order(b), order(a))) { buf(o) = order(b); b += 1 }
+          else { buf(o) = order(a); a += 1 }
+          o += 1
         }
-        if (b - l < h - a) { quick(l, b); l = a } else { quick(a, h); h = b }
+        while (a < mid) { buf(o) = order(a); a += 1; o += 1 }
+        while (b < hi) { buf(o) = order(b); b += 1; o += 1 }
+        System.arraycopy(buf, lo, order, lo, hi - lo)
+        lo += 2 * width
       }
+      width *= 2
     }
-    quick(0, nsegs.n - 1)
 
     var k = 0
     while (k < nsegs.n) {

@@ -105,7 +105,7 @@ object QuadEdge {
     private var groups = new Array[Array[Edge]](256)
     private var n = 0 // high-water of pooled groups
     private var idx = 0 // next pooled group to hand out
-    var gen = 0L // bumped on reset; lets readers detect recycled edges
+    @volatile var gen = 0L // bumped on reset; read cross-thread by checkLive
     def reset(): Unit = { idx = 0; gen += 1 }
     def take(): Edge = {
       val es =
@@ -135,6 +135,15 @@ object QuadEdge {
     * unenforced resetPool contract).
     */
   def poolGeneration: Long = pool.get().gen
+
+  /** The building thread's pool as an opaque handle + its generation —
+    * lets a Subdivision detect recycling from ANY reading thread (the
+    * edges live in the BUILDER's pool, so the builder thread's reset
+    * poisons them no matter who reads).
+    */
+  private[core] def poolHandle: AnyRef = pool.get()
+  private[core] def generationOf(handle: AnyRef): Long =
+    handle.asInstanceOf[EdgePool].gen
 
   /** 4-edge group (reference quadedge.go Init) — pooled per thread. */
   def newEdge(): Edge = pool.get().take()

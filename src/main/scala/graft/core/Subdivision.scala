@@ -20,18 +20,18 @@ final class Subdivision private (var startingEdge: Edge, val frame: (Pt, Pt, Pt)
   import Subdivision._
 
   // resetPool-contract enforcement: the edges of this subdivision live in
-  // the building thread's per-thread pool; after QuadEdge.resetPool() they
-  // are silently recycled. Record the generation at build and fail fast on
-  // stale reads from the owning thread (cross-thread reads can't be
-  // poisoned by that thread's reset — pools are per-thread).
-  private val builtGen = QuadEdge.poolGeneration
-  private val builtThread = Thread.currentThread()
+  // the BUILDING thread's pool; after that thread's QuadEdge.resetPool()
+  // they are silently recycled, no matter which thread reads them. Record
+  // the builder's pool handle + generation at build and fail fast on any
+  // read after that pool advanced.
+  private val builtPool = QuadEdge.poolHandle
+  private val builtGen = QuadEdge.generationOf(builtPool)
 
   private def checkLive(): Unit =
-    if ((Thread.currentThread() eq builtThread) && QuadEdge.poolGeneration != builtGen)
+    if (QuadEdge.generationOf(builtPool) != builtGen)
       throw new IllegalStateException(
         "Subdivision used after QuadEdge.resetPool() recycled its pooled edges " +
-          "(e.g. MakeValid.geometry ran on this thread since it was built); " +
+          "(e.g. MakeValid.geometry ran on the building thread since it was built); " +
           "read or rebuild the subdivision before the next reset")
 
   private def locate(x: Pt): Option[Edge] =

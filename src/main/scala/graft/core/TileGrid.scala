@@ -58,10 +58,13 @@ object Projection {
   def utm(zone: Utm.Zone, ellips: Utm.Ellipsoid = Utm.WGS84): Projection = {
     require(zone.isValid, s"invalid UTM zone $zone")
     val z0 = zone
+    // the NATO digraph is per-point trig + allocations the projection
+    // discards — disable it for the hot tile path (Coord math unchanged)
+    val projEllips = ellips.copy(natoCompatible = false)
     new Projection {
       val srid = (if (z0.isNorthern) 32600 else 32700) + z0.number
       def forward(lon: Double, lat: Double): Pt = {
-        val c = Utm.fromLngLatZone(lon, lat, z0, ellips).get
+        val c = Utm.fromLngLatZone(lon, lat, z0, projEllips).get
         (c.easting, c.northing)
       }
       def inverse(x: Double, y: Double): Pt =

@@ -145,7 +145,16 @@ object Utm {
     var northing = k0 * (m + n * t0 * (a2 / 2.0 +
       (5.0 - t + 9.0 * c + 4.0 * c2) * a4 / 24.0 +
       (61.0 - 58.0 * t + t2 + 600.0 * c - 330.0 * eccentPrime) * a6 / 720.0))
-    if (lat < 0.0) northing += 10000000.0
+    // False northing keyed on the ZONE's hemisphere, not the latitude
+    // sign. Equivalent to the reference's `if lat < 0` (utm.go) when the
+    // zone is derived from the latitude (fromLngLat: zoneLetter(lat) is
+    // southern ⇔ lat < 0), but hemisphere-CONSISTENT for a pinned zone:
+    // EPSG:327xx always applies the 10,000,000 m offset (toLngLat
+    // subtracts it back via the same isNorthern test) and 326xx never
+    // does (southern points get negative northing, PROJ semantics) — so
+    // forward∘inverse round-trips across the equator in both CRS
+    // families.
+    if (!zone.isNorthern) northing += 10000000.0
     val dg = if (ellips.natoCompatible) Some(digraph(zone, lng, lat)) else None
     Some(Coord(northing, easting, zone, dg))
   }

@@ -128,7 +128,13 @@ object Tiler {
               def next(): MvtTile.Feature = {
                 val r = buf.next()
                 i += 1
-                val cmds = r.getSeq[Long](2).toIndexedSeq
+                // zero-copy: the row holds the command longs in a primitive
+                // array (ArraySeq.ofLong) — rewrap instead of boxing a copy
+                // (the round-3 micro-pass invariant, kept on the Row path)
+                val cmds: IndexedSeq[Long] = r.getSeq[Long](2) match {
+                  case as: scala.collection.immutable.ArraySeq[Long] => as
+                  case other => other.toIndexedSeq
+                }
                 val props = Vector.newBuilder[(String, MvtTile.TagValue)]
                 props += (("fid", MvtTile.TagValue.VString(r.getString(1))))
                 var p = 0

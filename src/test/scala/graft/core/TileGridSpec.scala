@@ -78,6 +78,21 @@ class TileGridSpec extends AnyFunSuite {
       val c = g.cellAt(z, (e.minx + e.maxx) / 2, (e.miny + e.maxy) / 2)
       assert((unpackZ(c), unpackX(c), unpackY(c)) == ((z, x.toLong, y.toLong)), s"$z/$x/$y")
     }
+    // cross-hemisphere consistency (round-4 review finding): a pinned
+    // zone's false northing keys on the CRS hemisphere, not the point's
+    // latitude sign, so forward∘inverse round-trips across the equator —
+    // southern CRS with a northern point and vice versa
+    for ((srid, lon, lat) <- Seq((32701, -177.0, 10.0), (32701, -177.0, -10.0),
+                                 (32601, -177.0, -10.0), (32601, -177.0, 10.0))) {
+      val pp = Projection.forSrid(srid).get
+      val (nx, ny) = pp.forward(lon, lat)
+      val (lon2, lat2) = pp.inverse(nx, ny)
+      assert(math.abs(lon - lon2) < 1e-6 && math.abs(lat - lat2) < 1e-6,
+        s"EPSG:$srid ($lon,$lat) → ($nx,$ny) → ($lon2,$lat2)")
+      // hemisphere convention: 327xx always offset (+1e7), 326xx never
+      if (srid > 32700) assert(ny > 0, s"EPSG:$srid northing $ny should carry the false northing")
+      else if (lat < 0) assert(ny < 0, s"EPSG:$srid southern point should have negative northing")
+    }
     // forSrid wires the whole EPSG range
     assert(Projection.forSrid(32611).get.srid == 32611)
     assert(Projection.forSrid(32733).get.srid == 32733)
