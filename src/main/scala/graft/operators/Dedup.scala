@@ -83,6 +83,33 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** Streaming exact dedup: first-seen-wins on the content hash over an
+    * unbounded stream — Spark's stateful dropDuplicates keyed by md5.
+    * With `withWatermark` + the event-time column in the key-scope,
+    * dedup state EVICTS once the watermark passes (bounded by the delay
+    * window, never by stream length — the 100 TB/day shape); without a
+    * watermark, state grows with distinct keys (exact global dedup,
+    * callers choose). Works identically on a bounded frame, which the
+    * spec uses for stream/batch parity.
+    */
+  def exactStreaming(docs: DataFrame, idCol: String, textCol: String,
+                     tsCol: Option[String] = None,
+                     watermarkDelay: String = "0 seconds"): DataFrame = {
+    val hashed = docs.withColumn("text_md5", md5(col(textCol).cast("binary")))
+    tsCol match {
+      case Some(ts) =>
+        // dedup state evicts when the watermark passes a key's first-seen
+        // time + delay (duplicates arriving inside the window collapse;
+        // state never outlives the window)
+        hashed.withWatermark(ts, watermarkDelay)
+          .dropDuplicatesWithinWatermark("text_md5")
+          .select(col("text_md5"), col(idCol).as("keeper_id"), col(ts))
+      case None =>
+        hashed.dropDuplicates("text_md5")
+          .select(col("text_md5"), col(idCol).as("keeper_id"))
+    }
+  }
+
   /** Exact n-gram (word 3-shingle) Jaccard near-dup: the classic
     * two-stage shape — LSH banding for RECALL (any shared band emits a
     * candidate, threshold 0 on the estimate), then exact set Jaccard for

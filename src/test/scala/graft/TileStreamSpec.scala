@@ -57,6 +57,31 @@ class TileStreamSpec extends AnyFunSuite {
       s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
   }
 
+  test("streaming exact dedup: first-seen-wins across micro-batches, watermark-evicted state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // duplicates split ACROSS micro-batches: the batch path can't see them
+    // together; only stateful streaming dedup collapses them
+    val input = MemoryStream[(Long, String, Long)]
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("doc_id", "text", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = graft.operators.Dedup.exactStreaming(shape(input.toDF()),
+        "doc_id", "text", tsCol = Some("ts"), watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream_out")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "alpha", 1000000L), (2L, "beta", 2000000L)))
+      q.processAllAvailable()
+      // batch 2 repeats alpha (same content, new id) inside the window
+      input.addData(Seq((3L, "alpha", 3000000L), (4L, "gamma", 4000000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.sql("SELECT keeper_id FROM dedup_stream_out").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 4L), s"got $out — duplicate alpha (id 3) must collapse to first-seen id 1")
+  }
+
   test("foreachBatch MVT sink: per-epoch tiles byte-identical to batch-mode tiles") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
