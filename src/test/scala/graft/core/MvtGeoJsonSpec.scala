@@ -252,4 +252,36 @@ class MvtGeoJsonSpec extends AnyFunSuite {
     assert(GeoJson.encodeFeature(poly).contains(
       "[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,0.0]]]"))
   }
+
+  test("codec robustness: malformed feature JSON and truncated MVT bytes fail cleanly") {
+    import GeoJson.Feature
+    // malformed features: clean exceptions, never hangs or silent nulls
+    for (bad <- Seq(
+        """{"type":"Feature","geometry":{"type":"Nope","coordinates":[]}}""",
+        """{"type":"FeatureCollection"}""", // missing features
+        """{"no_type_at_all":1}""",
+        """[1,2,3]""",
+        """not json at all""")) {
+      intercept[Exception](GeoJson.decodeFeatureOrCollection(bad))
+    }
+    // non-finite property values are a marshal ERROR (Go parity), both spellings
+    intercept[GeoJson.GeoJsonException](
+      GeoJson.encodeFeature(Feature(None, properties = Some(Map("v" -> Double.NaN)))))
+    intercept[GeoJson.GeoJsonException](
+      GeoJson.encodeFeature(Feature(None, properties = Some(Map("v" -> Float.PositiveInfinity)))))
+    // truncated / corrupted MVT tile bytes: exceptions, not corrupt Layers
+    val good = MvtTile.encodeTile(Vector(MvtTile.Layer("t", Vector(
+      MvtTile.Feature(1L, 1, Mvt.encodeGeometry(GPoint((25, 17)))._1,
+        MvtTile.strProps("k" -> "v"))))))
+    for (cut <- Seq(1, good.length / 2, good.length - 1)) {
+      val truncated = good.take(cut)
+      try {
+        MvtTile.decodeTile(truncated) // either throws or yields a partial decode…
+        ()
+      } catch { case _: Exception => () } // …but must never hang or corrupt memory
+    }
+    // full round-trip still intact after the truncation attempts
+    assert(MvtTile.decodeTile(good).head.features.head.properties ==
+      MvtTile.strProps("k" -> "v"))
+  }
 }
