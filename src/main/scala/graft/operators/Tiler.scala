@@ -155,6 +155,82 @@ object Tiler {
       .toDF("z", "x", "y", "mvt")
   }
 
+  /** Multi-LAYER MVT tile sink (reference tile.go: a Tile holds repeated
+    * Layer messages): same deterministic streaming shape as `mvtTiles`,
+    * with `layerCol` naming each feature's layer. One shuffle on the
+    * packed cell, in-partition sort by (cell, layer, fid): a forward walk
+    * emits one tile per cell, streaming each consecutive layer run
+    * through the layer encoder and framing the finished layers into the
+    * tile — layers appear in layer-name order (deterministic bytes),
+    * per-tile memory stays bounded at the output bytes + one layer's
+    * key/value maps.
+    */
+  def mvtTilesLayered(spark: org.apache.spark.sql.SparkSession, geoms: DataFrame,
+                      idCol: String, z: Int, layerCol: String,
+                      srid: Int = 4326): DataFrame = {
+    import spark.implicits._
+    import graft.core.{MvtTile, Slippy}
+    val env = geoms
+      .withColumn("env", st_envelope(col("geom")))
+      .filter(col("env").isNotNull)
+    val tiles =
+      if (srid == 3857)
+        st_tiles_for_bounds_3857(col("env.minx"), col("env.miny"),
+          col("env.maxx"), col("env.maxy"), lit(z))
+      else
+        st_tiles_for_bounds(col("env.minx"), col("env.miny"),
+          col("env.maxx"), col("env.maxy"), lit(z))
+    val withCell = env.withColumn("cell", explode(tiles))
+    val prepped =
+      if (srid == 3857)
+        withCell
+          .withColumn("te", st_tile_extent_3857(st_cell_z(col("cell")),
+            st_cell_x(col("cell")), st_cell_y(col("cell"))))
+          .withColumn("prep", st_prepare_extent(col("geom"),
+            col("te.minx"), col("te.miny"), col("te.maxx"), col("te.maxy")))
+      else
+        withCell.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
+    prepped
+      .withColumn("mvt", st_mvt_geometry(col("prep")))
+      .select(col("cell"), col(layerCol).cast("string").as("layer"),
+        col(idCol).cast("string").as("fid"),
+        col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype"))
+      .repartition(col("cell"))
+      .sortWithinPartitions(col("cell"), col("layer"), col("fid"))
+      .mapPartitions { it =>
+        val buf = it.buffered
+        new Iterator[(Int, Long, Long, Array[Byte])] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): (Int, Long, Long, Array[Byte]) = {
+            val cell = buf.head.getLong(0)
+            val layers = Vector.newBuilder[Array[Byte]]
+            while (buf.hasNext && buf.head.getLong(0) == cell) {
+              val layerName = buf.head.getString(1)
+              var i = 0L
+              val featIt = new Iterator[MvtTile.Feature] {
+                def hasNext: Boolean = buf.hasNext &&
+                  buf.head.getLong(0) == cell && buf.head.getString(1) == layerName
+                def next(): MvtTile.Feature = {
+                  val r = buf.next()
+                  i += 1
+                  val cmds: IndexedSeq[Long] = r.getSeq[Long](3) match {
+                    case as: scala.collection.immutable.ArraySeq[Long] => as
+                    case other => other.toIndexedSeq
+                  }
+                  MvtTile.Feature(i, r.getInt(4), cmds,
+                    Vector(("fid", MvtTile.TagValue.VString(r.getString(2)))))
+                }
+              }
+              layers += MvtTile.encodeLayerStream(layerName, featIt)
+            }
+            val bytes = MvtTile.encodeTileFromLayerBytes(layers.result())
+            (Slippy.unpackZ(cell), Slippy.unpackX(cell), Slippy.unpackY(cell), bytes)
+          }
+        }
+      }
+      .toDF("z", "x", "y", "mvt")
+  }
+
   /** Rasterize: points → per-tile pixel occupancy at `res`×`res` pixels per
     * z-tile. Pixel math is the slippy projection carried 8 more zoom levels
     * (res=256 ⇒ a z pixel IS a z+8 tile), so the whole stage is the same

@@ -421,6 +421,46 @@ class OperatorsSpec extends AnyFunSuite {
       x != 300L && MvtTile.decodeTile(bytes).head.features.length >= 4 })
   }
 
+  test("multi-layer MVT sink: layers in name order, deterministic, decode round-trip") {
+    import graft.core.MvtTile
+    import spark.implicits._
+    // ids sharing a cell across parities: id and id+5 land on the same
+    // z9 tile (340 + id%5), so most tiles carry both layers
+    val rows = (0L until 100L).map { id =>
+      val tx = 340 + (id % 5).toInt
+      val ty = 200 + ((id / 10) % 3).toInt
+      val e = graft.core.Slippy.tileExtent3857(9, tx, ty)
+      val w = e.maxx - e.minx; val h = e.maxy - e.miny
+      val x0 = e.minx + (0.1 + (id % 7) * 0.05) * w
+      val y0 = e.miny + (0.1 + (id % 6) * 0.05) * h
+      val x1 = x0 + 0.2 * w; val y1 = y0 + 0.2 * h
+      (id, s"POLYGON (($x0 $y0,$x1 $y0,$x1 $y1,$x0 $y1,$x0 $y0))")
+    }
+    val base = rows.toDF("pid", "wkt")
+      .withColumn("geom", graft.functions.GeomFunctions.st_geomfromwkt(col("wkt")))
+      .withColumn("lyr", when(col("pid") % 2 === 0, "roads").otherwise("pois"))
+      .select(col("pid"), col("geom"), col("lyr"))
+    def runOnce(parts: Int): Map[(Long, Long), Array[Byte]] =
+      Tiler.mvtTilesLayered(spark, base.repartition(parts), "pid", 9, "lyr", srid = 3857)
+        .collect().map(r => ((r.getLong(1), r.getLong(2)), r.getAs[Array[Byte]]("mvt"))).toMap
+    val a = runOnce(3)
+    val b = runOnce(11)
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.foreach { case (k, bytes) => assert(bytes.sameElements(b(k)), s"tile $k not deterministic") }
+    // a tile containing both parities carries BOTH layers, name-ordered
+    val multi = a.values.map(MvtTile.decodeTile).find(_.length == 2)
+    assert(multi.isDefined, "no two-layer tile produced")
+    assert(multi.get.map(_.name) == Vector("pois", "roads"), "layers not in name order")
+    multi.get.foreach { layer =>
+      assert(layer.features.nonEmpty)
+      val fids = layer.features.map(_.properties.head._2.asInstanceOf[MvtTile.TagValue.VString].v)
+      assert(fids == fids.sorted, s"layer ${layer.name} features not fid-ordered")
+      // parity respected: roads = even pids, pois = odd
+      val even = layer.name == "roads"
+      assert(fids.forall(f => (f.toLong % 2 == 0) == even), s"layer ${layer.name} mixed parities")
+    }
+  }
+
   test("mvt layer key/value dedup across features") {
     import graft.core.MvtTile._
     val layer = Layer("t", Vector(
