@@ -59,15 +59,13 @@ object Tiler {
     * pipeline, no shuffle) → ONE shuffle grouping by the packed cell id →
     * layer/tile assembly per group. Emits (z, x, y, mvt binary).
     */
-  def mvtTiles(spark: org.apache.spark.sql.SparkSession, geoms: DataFrame,
-               idCol: String, z: Int, layerName: String, srid: Int = 4326,
-               propCols: Seq[String] = Nil): DataFrame = {
-    import spark.implicits._
-    import graft.core.{MvtTile, Slippy}
-    // cell assignment INLINE (explode carries the geometry column) — the
-    // round-2 assignTiles(geoms) ⋈ geoms form evaluated the input twice
-    // (fatal when the upstream is expensive, e.g. a makevalid stage) and
-    // paid a join shuffle for nothing
+  /** shared map-side sink front: inline cell assignment (explode carries
+    * the geometry column — the round-2 assignTiles ⋈ geoms form evaluated
+    * the input twice and paid a join shuffle for nothing), tile-space
+    * projection, command-stream encode. Emits (cell, …, mvt struct); all
+    * per-row expressions, no shuffle.
+    */
+  private def mvtPrep(geoms: DataFrame, z: Int, srid: Int): DataFrame = {
     val env = geoms
       .withColumn("env", st_envelope(col("geom")))
       .filter(col("env").isNotNull)
@@ -88,8 +86,15 @@ object Tiler {
             col("te.minx"), col("te.miny"), col("te.maxx"), col("te.maxy")))
       else
         withCell.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
-    val assigned = prepped
-      .withColumn("mvt", st_mvt_geometry(col("prep")))
+    prepped.withColumn("mvt", st_mvt_geometry(col("prep")))
+  }
+
+  def mvtTiles(spark: org.apache.spark.sql.SparkSession, geoms: DataFrame,
+               idCol: String, z: Int, layerName: String, srid: Int = 4326,
+               propCols: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    import graft.core.{MvtTile, Slippy}
+    val assigned = mvtPrep(geoms, z, srid)
       .select(Seq(col("cell"), col(idCol).cast("string").as("fid"),
         col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype")) ++
         propCols.map(col): _*)
@@ -170,28 +175,7 @@ object Tiler {
                       srid: Int = 4326): DataFrame = {
     import spark.implicits._
     import graft.core.{MvtTile, Slippy}
-    val env = geoms
-      .withColumn("env", st_envelope(col("geom")))
-      .filter(col("env").isNotNull)
-    val tiles =
-      if (srid == 3857)
-        st_tiles_for_bounds_3857(col("env.minx"), col("env.miny"),
-          col("env.maxx"), col("env.maxy"), lit(z))
-      else
-        st_tiles_for_bounds(col("env.minx"), col("env.miny"),
-          col("env.maxx"), col("env.maxy"), lit(z))
-    val withCell = env.withColumn("cell", explode(tiles))
-    val prepped =
-      if (srid == 3857)
-        withCell
-          .withColumn("te", st_tile_extent_3857(st_cell_z(col("cell")),
-            st_cell_x(col("cell")), st_cell_y(col("cell"))))
-          .withColumn("prep", st_prepare_extent(col("geom"),
-            col("te.minx"), col("te.miny"), col("te.maxx"), col("te.maxy")))
-      else
-        withCell.withColumn("prep", st_prepare_tile(col("geom"), col("cell")))
-    prepped
-      .withColumn("mvt", st_mvt_geometry(col("prep")))
+    mvtPrep(geoms, z, srid)
       .select(col("cell"), col(layerCol).cast("string").as("layer"),
         col(idCol).cast("string").as("fid"),
         col("mvt.commands").as("commands"), col("mvt.geom_type").as("gtype"))
