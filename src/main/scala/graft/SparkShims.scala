@@ -1,0 +1,16 @@
+package org.apache.spark.graftshim
+
+import org.apache.spark.SparkContext
+
+/** Deterministic listener drain for metric probes (ShuffleProbe, the
+  * OperatorsSpec skew probe): `SparkContext.listenerBus` is
+  * `private[spark]`, so this one-line accessor lives in an
+  * org.apache.spark subpackage. `LiveListenerBus.waitUntilEmpty` itself
+  * is public API — this replaces the racy Thread.sleep drain the round-4
+  * advisor flagged (events post asynchronously; a fixed sleep can miss
+  * them under load).
+  */
+object ListenerDrain {
+  def waitUntilEmpty(sc: SparkContext, timeoutMillis: Long = 30000L): Unit =
+    sc.listenerBus.waitUntilEmpty(timeoutMillis)
+}

@@ -168,6 +168,80 @@ object GeoJson {
     b.append('"')
   }
 
+  /** Go encoding/json float form (encode.go appendFloat): shortest
+    * round-tripping digits (strconv prec −1), 'f' (plain) format unless
+    * abs < 1e-6 or abs >= 1e21, in which case 'e' with the exponent
+    * cleaned Go-style (explicit sign, no leading zero: "1e+21",
+    * "1.2e-7"); -0.0 emits "-0". Digit selection canNOT delegate to
+    * JDK 17's Double.toString (pre-Ryu it emits non-shortest digits,
+    * e.g. 1.25e22 → "1.2499999999999999E22" — JDK-4511638); instead the
+    * minimal precision whose HALF_EVEN rounding round-trips is searched
+    * directly — the closest shortest decimal, which is what Ryu picks.
+    * `digits` is the significand digit string of abs(x) (trailing zeros
+    * stripped below), `exp` its decimal exponent: abs(x) = d.dd… × 10^exp.
+    */
+  private def goFloatInto(b: StringBuilder, neg: Boolean, digits0: String,
+                          exp0: Int, eNotation: Boolean): Unit = {
+    var digits = digits0
+    // strip trailing zeros (a prec-3 rounding of 100 keeps unscaled "100")
+    var last = digits.length
+    while (last > 1 && digits.charAt(last - 1) == '0') last -= 1
+    digits = digits.substring(0, last)
+    if (neg) b.append('-')
+    if (eNotation) {
+      b.append(digits.charAt(0))
+      if (digits.length > 1) b.append('.').append(digits.substring(1))
+      b.append('e')
+      if (exp0 >= 0) b.append('+').append(exp0) else b.append(exp0)
+    } else if (exp0 >= digits.length - 1) { // integer, no trailing ".0"
+      b.append(digits)
+      var i = digits.length - 1
+      while (i < exp0) { b.append('0'); i += 1 }
+    } else if (exp0 >= 0) { // point inside the digits
+      b.append(digits.substring(0, exp0 + 1)).append('.')
+        .append(digits.substring(exp0 + 1))
+    } else { // 0.00ddd
+      b.append("0.")
+      var i = exp0
+      while (i < -1) { b.append('0'); i += 1 }
+      b.append(digits)
+    }
+  }
+
+  /** shortest round-tripping (digits, decimal exponent) of a positive
+    * finite value: smallest significant-digit count whose correctly-
+    * rounded (HALF_EVEN) decimal parses back to the identical bits.
+    * `maxPrec` 17 for binary64, 9 for binary32.
+    */
+  private def shortestRepr(parseBack: java.math.BigDecimal => Boolean,
+                           exact: java.math.BigDecimal, maxPrec: Int): (String, Int) = {
+    var prec = 1
+    var bd: java.math.BigDecimal = null
+    var found = false
+    while (!found && prec <= maxPrec) {
+      bd = exact.round(new java.math.MathContext(prec, java.math.RoundingMode.HALF_EVEN))
+      if (parseBack(bd)) found = true else prec += 1
+    }
+    if (!found) bd = exact // unreachable: maxPrec digits always round-trip
+    val unscaled = bd.unscaledValue.abs.toString
+    (unscaled, unscaled.length - 1 - bd.scale)
+  }
+
+  private def goDouble(b: StringBuilder, x: Double): Unit = {
+    if (x == 0.0) { b.append(if (1.0 / x < 0) "-0" else "0"); return }
+    val a = math.abs(x)
+    val (digits, exp) = shortestRepr(_.doubleValue() == a, new java.math.BigDecimal(a), 17)
+    goFloatInto(b, x < 0, digits, exp, a < 1e-6 || a >= 1e21)
+  }
+
+  private def goFloat(b: StringBuilder, x: Float): Unit = {
+    if (x == 0.0f) { b.append(if (1.0f / x < 0) "-0" else "0"); return }
+    val a = math.abs(x)
+    val (digits, exp) = shortestRepr(_.floatValue() == a,
+      new java.math.BigDecimal(a.toDouble), 9)
+    goFloatInto(b, x < 0, digits, exp, a < 1e-6f || a >= 1e21f)
+  }
+
   /** property values per Go json type-default encoding; maps emit keys
     * SORTED (Go marshals map[string]interface{} in key order).
     */
@@ -180,11 +254,11 @@ object GeoJson {
       // Go json.Marshal errors on non-finite floats (unsupported value)
       if (x.isNaN || x.isInfinite)
         throw new GeoJsonException(s"unsupported property value: $x")
-      if (x == x.floor && math.abs(x) < 1e15) b.append(x.toLong) else b.append(x)
+      goDouble(b, x)
     case x: Float =>
       if (x.isNaN || x.isInfinite)
         throw new GeoJsonException(s"unsupported property value: $x")
-      if (x == x.floor && math.abs(x) < 1e7) b.append(x.toLong) else b.append(x)
+      goFloat(b, x)
     case x: Boolean      => b.append(x)
     case m: Map[_, _] =>
       b.append('{')
@@ -268,9 +342,18 @@ object GeoJson {
 
   private def featureOf(n: JsonNode): Feature = {
     val g = fieldCI(n, "geometry").filterNot(_.isNull).map(decodeNode)
-    val id = fieldCI(n, "id").filterNot(_.isNull).map(_.asLong)
-    val props = fieldCI(n, "properties").filterNot(_.isNull)
-      .map(p => anyOf(p).asInstanceOf[Map[String, Any]])
+    // Go Unmarshal errors on a non-integer id (string→uint64 is a type
+    // error) — never silently coerce to 0
+    val id = fieldCI(n, "id").filterNot(_.isNull).map { v =>
+      if (!v.isIntegralNumber)
+        throw new GeoJsonException(s"feature id must be an integer, got $v")
+      v.asLong
+    }
+    val props = fieldCI(n, "properties").filterNot(_.isNull).map { p =>
+      if (!p.isObject)
+        throw new GeoJsonException(s"feature properties must be an object, got $p")
+      anyOf(p).asInstanceOf[Map[String, Any]]
+    }
     Feature(g, id, props)
   }
 

@@ -197,11 +197,19 @@ object MvtTile {
 
   // ---- decode (reference encoding/mvt/decode.go:29-84) ----
 
+  /** Every read is bounds-checked against the enclosing message `end`
+    * (not just the array length): a truncated or corrupt nested message
+    * must FAIL rather than silently read sibling-message bytes and
+    * mis-decode them as its own floats/varints.
+    */
   private final class Reader(bytes: Array[Byte], var i: Int, val end: Int) {
     def hasNext: Boolean = i < end
+    private def need(n: Int): Unit =
+      if (i + n > end) sys.error(s"truncated message: need $n bytes at $i, end $end")
     def varint(): Long = {
       var shift = 0; var v = 0L; var b = 0
       do {
+        need(1)
         b = bytes(i) & 0xFF; i += 1
         v |= (b & 0x7FL) << shift; shift += 7
       } while ((b & 0x80) != 0)
@@ -209,17 +217,21 @@ object MvtTile {
     }
     def lengthDelim(): (Int, Int) = { // (start, end)
       val len = varint().toInt
+      if (len < 0) sys.error(s"negative length $len at $i")
+      need(len)
       val s = i
       i += len
       (s, i)
     }
     def fixed32(): Int = {
+      need(4)
       val v = (bytes(i) & 0xFF) | ((bytes(i + 1) & 0xFF) << 8) |
         ((bytes(i + 2) & 0xFF) << 16) | ((bytes(i + 3) & 0xFF) << 24)
       i += 4
       v
     }
     def fixed64(): Long = {
+      need(8)
       var v = 0L
       var j = 0
       while (j < 8) { v |= (bytes(i + j) & 0xFFL) << (8 * j); j += 1 }
@@ -229,8 +241,8 @@ object MvtTile {
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
       case 2 => lengthDelim()
-      case 5 => i += 4
-      case 1 => i += 8
+      case 5 => need(4); i += 4
+      case 1 => need(8); i += 8
       case w => sys.error(s"unsupported wire type $w")
     }
   }

@@ -284,4 +284,62 @@ class MvtGeoJsonSpec extends AnyFunSuite {
     assert(MvtTile.decodeTile(good).head.features.head.properties ==
       MvtTile.strProps("k" -> "v"))
   }
+
+  test("property floats render in Go json form on edge values (round-4 advice)") {
+    import GeoJson.Feature
+    def enc(v: Any): String = {
+      val s = GeoJson.encodeFeature(Feature(None, properties = Some(Map("v" -> v))))
+      s.stripPrefix("""{"type":"Feature","geometry":null,"properties":{"v":""")
+        .stripSuffix("}}")
+    }
+    // Go json.Marshal reference outputs (fmt 'f' unless abs<1e-6 or >=1e21)
+    assert(enc(1e16) == "10000000000000000")
+    assert(enc(1e21) == "1e+21")
+    assert(enc(-1e21) == "-1e+21")
+    assert(enc(1.25e22) == "1.25e+22")
+    assert(enc(1.2e-7) == "1.2e-7")
+    assert(enc(0.000001) == "0.000001") // 1e-6 itself stays plain
+    assert(enc(-0.0) == "-0")
+    assert(enc(0.0) == "0")
+    assert(enc(3.0) == "3")
+    assert(enc(123.45) == "123.45")
+    assert(enc(0.001) == "0.001")
+    assert(enc(-2.5f) == "-2.5")
+    assert(enc(3.0f) == "3")
+    assert(enc(1e22f) == "1e+22")
+  }
+
+  test("feature decode rejects string ids and non-object properties (Go Unmarshal parity)") {
+    intercept[GeoJson.GeoJsonException](GeoJson.decodeFeatureOrCollection(
+      """{"type":"Feature","geometry":null,"id":"abc","properties":null}"""))
+    intercept[GeoJson.GeoJsonException](GeoJson.decodeFeatureOrCollection(
+      """{"type":"Feature","geometry":null,"properties":[1,2]}"""))
+    // integral id still decodes
+    val f = GeoJson.decodeFeatureOrCollection(
+      """{"type":"Feature","geometry":null,"id":7,"properties":null}""")
+    assert(f.left.toOption.flatMap(_.id).contains(7L))
+  }
+
+  test("corrupt Value message bytes fail cleanly instead of mis-decoding (round-4 advice)") {
+    // a Value whose declared length cuts a fixed64 double in half: the
+    // reader must error at the message boundary, not read sibling bytes
+    val good = MvtTile.encodeTile(Vector(MvtTile.Layer("t", Vector(
+      MvtTile.Feature(1L, 1, Mvt.encodeGeometry(GPoint((25, 17)))._1,
+        Vector("d" -> MvtTile.TagValue.VDouble(2.5), "k" -> MvtTile.TagValue.VString("v")))))))
+    // find the fixed64 marker (tag 3, wire 1 => byte 0x19) inside the tile
+    // and truncate the ENCLOSING Value's declared length to cut it short
+    val idx = good.indexOfSlice(Array[Byte](0x19.toByte))
+    assert(idx > 0, "fixed64 double tag not found in encoded tile")
+    val corrupt = good.clone()
+    corrupt(idx - 1) = 5 // Value msg length 9 (tag+fixed64) -> 5: truncates the double
+    val r = try { Some(MvtTile.decodeTile(corrupt)) } catch { case _: Exception => None }
+    // either a clean failure, or (if framing happened to survive) the
+    // double must NOT silently decode to a wrong value from stolen bytes
+    r.foreach { layers =>
+      val vs = layers.flatMap(_.features).flatMap(_.properties).collect {
+        case (_, MvtTile.TagValue.VDouble(d)) => d
+      }
+      assert(!vs.exists(d => d != 2.5), s"mis-decoded double from stolen bytes: $vs")
+    }
+  }
 }
