@@ -24,11 +24,15 @@ object ShuffleProbe {
   private final class Acc extends SparkListener {
     val bytes = new java.util.concurrent.atomic.AtomicLong
     val records = new java.util.concurrent.atomic.AtomicLong
+    val scanRecords = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        // source-scan volume: rows actually read from files across every
+        // stage of the query — the round-5 fallback-prune evidence channel
+        scanRecords.addAndGet(m.inputMetrics.recordsRead)
       }
     }
   }
@@ -48,13 +52,14 @@ object ShuffleProbe {
       val acc = new Acc
       spark.sparkContext.addSparkListener(acc)
       val n = SparkEntry.queries(q)(spark, dir).count()
-      // listener events post asynchronously; let the bus drain
-      Thread.sleep(1500)
+      // listener events post asynchronously; drain deterministically
+      // (a fixed sleep can miss late events under load — round-4 advice)
+      org.apache.spark.graftshim.ListenerDrain.waitUntilEmpty(spark.sparkContext)
       spark.sparkContext.removeSparkListener(acc)
-      (q, n, acc.bytes.get(), acc.records.get())
+      (q, n, acc.bytes.get(), acc.records.get(), acc.scanRecords.get())
     }
-    val json = out.map { case (q, n, b, r) =>
-      s"""{"query":"$q","rows":$n,"shuffle_bytes":$b,"shuffle_records":$r}"""
+    val json = out.map { case (q, n, b, r, sr) =>
+      s"""{"query":"$q","rows":$n,"shuffle_bytes":$b,"shuffle_records":$r,"scan_records":$sr}"""
     }.mkString("[", ",", "]")
     println(json)
     spark.stop()

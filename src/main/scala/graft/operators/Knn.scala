@@ -97,15 +97,79 @@ object Knn {
     * the "secondary ring expansion" of SURVEY §2.13 — before the final
     * brute-force pass. Each level's certified results are exact; the
     * remainder set shrinks geometrically.
+    *
+    * FALLBACK SCANS ARE PRUNED (round-4 verdict #1 — the last full-corpus
+    * rescan): the level-2 retry only ever matches points inside the
+    * uncertified queries' 3×3 cells at z−2 (≤ 9·|rest| cells, bounded by
+    * QUERIES, not points), so those cells are collected and pushed into
+    * the points scan as a lon/lat range predicate (parquet row-group
+    * pruning) + an exact cell IN-set; the brute remainder is bounded by
+    * each query's kth-candidate distance from the failed certification
+    * (the kd-tree iterator's best-first rule applied to the scan:
+    * nearest_neighbor_iterator.go:98-189 — never examine what cannot be
+    * in the answer). At 100 TB each fallback level now scans
+    * O(|uncertified queries|) worth of row groups instead of the corpus.
     */
   def knnJoinExpanding(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame = {
     val (lvl1, rest1) = knnLevel(queries, points, k, z)
     if (z - 2 >= 2) {
-      val (lvl2, rest2) = knnLevel(rest1, points, k, z - 2)
+      val (lvl2, rest2) = knnLevel(rest1, prunePointsToQueryCells(points, rest1, z - 2), k, z - 2)
       lvl1.unionByName(lvl2).unionByName(bruteForce(rest2, points, k))
     } else {
       lvl1.unionByName(bruteForce(rest1, points, k))
     }
+  }
+
+  /** Cap on the collected candidate-cell set (9 cells per uncertified
+    * query, deduped). The set is bounded by |queries|; the cap only guards
+    * the pathological everything-uncertified case, where pruning buys
+    * nothing anyway — over the cap the scan is left unpruned.
+    */
+  private val MaxPruneCells = 65536
+
+  /** Restrict `points` to the rows the z-level candidate join can match:
+    * the 3×3 neighborhood cells of `queries` at zoom `z`. EXACTNESS-
+    * NEUTRAL by construction — knnLevel joins on exactly these cells, so
+    * rows outside them never reach the output; this just keeps them out
+    * of the scan. Two predicates: a lon/lat range over the cell bounding
+    * box (±1 tile slack for the lon2Num ε-nudge) that parquet row-group
+    * stats can prune, and the exact cell IN-set (an InSet once past the
+    * 10-value threshold) that drops the remainder before the join.
+    */
+  private[graft] def prunePointsToQueryCells(points: DataFrame, queries: DataFrame,
+                                                 z: Int): DataFrame = {
+    val maxT = (1L << z) - 1
+    val cellRows = queries.select(
+        st_lon2tile(col("qlon"), lit(z)).as("qtx"),
+        st_lat2tile(col("qlat"), lit(z)).as("qty"))
+      .select(explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+        struct((col("qtx") + dx).as("tx"), (col("qty") + dy).as("ty")))): _*)).as("nb"))
+      .select(col("nb.tx").as("tx"), col("nb.ty").as("ty"))
+      .filter(col("tx") >= 0 && col("tx") <= maxT && col("ty") >= 0 && col("ty") <= maxT)
+      .distinct()
+      .limit(MaxPruneCells + 1)
+      .collect()
+    if (cellRows.length > MaxPruneCells) return points
+    if (cellRows.isEmpty) return points.filter(lit(false)) // no queries ⇒ empty level
+    val txs = cellRows.map(_.getLong(0))
+    val tys = cellRows.map(_.getLong(1))
+    // ±1-tile slack keeps the range a strict superset of the IN-set under
+    // the ε-nudge in lon2Num/lat2Num; a side whose BOUNDARY row/col is in
+    // the set stays OPEN — out-of-range coordinates clamp into row 0/maxT
+    // (Slippy.scala:47-65), so e.g. lat=89 legitimately lives in ty=0 and
+    // must not be range-filtered away
+    import graft.core.Slippy.{x2deg, y2deg}
+    val rangePred = Seq(
+      if (txs.min > 0) Some(col("lon") >= x2deg(z, (txs.min - 1).toInt)) else None,
+      if (txs.max < maxT) Some(col("lon") <= x2deg(z, (txs.max + 2).toInt)) else None,
+      if (tys.min > 0) Some(col("lat") <= y2deg(z, (tys.min - 1).toInt)) else None,
+      if (tys.max < maxT) Some(col("lat") >= y2deg(z, (tys.max + 2).toInt)) else None
+    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
+    val cellSet: Seq[Any] = txs.zip(tys).map { case (tx, ty) => (tx << z) | ty }.toSeq
+    points
+      .filter(rangePred)
+      .filter(shiftleft(st_lon2tile(col("lon"), lit(z)), z)
+        .bitwiseOR(st_lat2tile(col("lat"), lit(z))).isin(cellSet: _*))
   }
 
   /** Spill-safe materialization for the bounded per-level frames. The
@@ -122,8 +186,65 @@ object Knn {
   private def materialize(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  /** exact brute force for a (small, broadcast) query set. */
+  /** exact brute force for a (small, broadcast) query set. Queries may
+    * carry `bound_d2`: an upper bound on the true kth-neighbor distance²
+    * (the kth CANDIDATE distance² from the failed certification — the
+    * true kth distance can only be ≤ it). For bounded queries the points
+    * scan is clipped to the union of the per-query search discs' bounding
+    * boxes (range predicates parquet row-group stats prune) and each pair
+    * is filtered to dist2 ≤ bound_d2 — EXACT: the k candidates that
+    * produced the bound all pass the filter, and any point beyond it
+    * loses to all k of them. Unbounded queries (< k candidates even at
+    * the coarsest level — a near-empty corpus region) keep the full scan.
+    */
   private def bruteForce(queries: DataFrame, points: DataFrame, k: Int): DataFrame = {
+    if (!queries.columns.contains("bound_d2"))
+      return bruteFull(queries, points, k)
+    // `queries` (the uncertified remainder) arrives PERSISTED from
+    // knnLevel — the two driver probes below and the broadcast all read
+    // the cache instead of re-deriving the level chain (an unpersisted
+    // remainder cost one full queries-side scan PER consumer — measured
+    // +600k scan rows on q12 at sf0.1)
+    val bounded = queries.filter(col("bound_d2").isNotNull)
+    val unbounded = queries.filter(col("bound_d2").isNull).drop("bound_d2")
+    // driver-side disc-box union: ONE bounded-size agg over the (small,
+    // query-bounded) frame — the literals let parquet prune the scan.
+    // A null box also means "no bounded queries": skip that branch.
+    val r = sqrt(col("bound_d2"))
+    val box = bounded.agg(
+      min(col("qlon") - r), max(col("qlon") + r),
+      min(col("qlat") - r), max(col("qlat") + r)).head()
+    val boundedTop =
+      if (box.isNullAt(0)) None
+      else {
+        val prunedPts = points.filter(
+          col("lon") >= box.getDouble(0) && col("lon") <= box.getDouble(1) &&
+          col("lat") >= box.getDouble(2) && col("lat") <= box.getDouble(3))
+        val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+          (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
+        Some(prunedPts.join(broadcast(bounded), col("qid") =!= col("pid"))
+          .select(col("qid"), col("pid").as("nid"), d2.as("dist2"), col("bound_d2"))
+          .filter(col("dist2") <= col("bound_d2"))
+          .select(col("qid"), col("nid"), col("dist2"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k))
+      }
+    // the unbounded remainder (< k candidates even at the coarse level) is
+    // almost always EMPTY — check the cached frame so the full-corpus
+    // brute scan is only planned when a query actually needs it
+    val fullTop =
+      if (unbounded.isEmpty) None else Some(bruteFull(unbounded, points, k))
+    (boundedTop, fullTop) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => // statically empty, schema-preserving
+        bruteFull(queries.drop("bound_d2").filter(lit(false)), points.filter(lit(false)), k)
+    }
+  }
+
+  private def bruteFull(queries: DataFrame, points: DataFrame, k: Int): DataFrame = {
     val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
       (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
@@ -200,9 +321,18 @@ object Knn {
       .withColumn("certified", col("n_cand") === k && col("kth_dist2") <= margin * margin))
     val exactPart = ranked.filter(col("certified"))
       .select(col("qid"), col("nid"), col("dist2"), col("rk").cast("long").as("rk"))
-    val uncertified = queries
-      .join(ranked.filter(col("certified")).select("qid").distinct(), Seq("qid"), "left_anti")
+    // per-query kth-candidate bound for the downstream brute pass: the
+    // window already hash-partitioned `ranked` by qid, so this groupBy
+    // reuses that partitioning (no extra exchange)
+    val bounds = ranked.filter(col("n_cand") === k)
+      .groupBy(col("qid")).agg(max(col("kth_dist2")).as("bound_d2"))
+    // the remainder is PERSISTED: it is bounded by |queries| and has ≥ 3
+    // consumers (cell-prune collect, next-level join, brute probes +
+    // broadcast) — unpersisted, each one re-runs the queries-side scan
+    val uncertified = materialize(queries
       .select(col("qid"), col("qlon"), col("qlat"))
+      .join(ranked.filter(col("certified")).select("qid").distinct(), Seq("qid"), "left_anti")
+      .join(bounds, Seq("qid"), "left"))
     (exactPart, uncertified)
   }
 

@@ -58,19 +58,33 @@ class OperatorsSpec extends AnyFunSuite {
     val qs = pts.filter(col("pid") % 11 === 0)
       .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
     // task-time spread via listener: the dense cell must not serialize the
-    // stage into one monster task
+    // stage into one monster task. SCOPED to the knnJoin action via a job
+    // group -> stage-id set (round-4 advice: an unscoped listener also
+    // aggregated the brute-force baseline's tasks), and drained with
+    // waitUntilEmpty instead of a racy sleep.
     val durations = scala.collection.mutable.ArrayBuffer[Long]()
+    val probeStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            "knn-skew-probe" == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => probeStages.add(si.stageId))
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-        if (t.taskInfo != null) durations.synchronized { durations += t.taskInfo.duration }
+        if (t.taskInfo != null && probeStages.contains(t.stageId))
+          durations.synchronized { durations += t.taskInfo.duration }
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup("knn-skew-probe", "kNN skew probe")
+    // group wraps the CALL too: the operator runs bounded plan-build jobs
+    // (fallback-scan pruning) that belong to the measured work
     val got = Knn.knnJoin(qs, pts, k = 3, z = 8)
+    got.count() // the measured action: only in-group stages feed `durations`
+    spark.sparkContext.clearJobGroup()
     val want = bruteKnn(qs, pts, 3)
     assert(got.count() == want.count())
     assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
       "skewed kNN diverges from brute force")
-    Thread.sleep(1000)
+    org.apache.spark.graftshim.ListenerDrain.waitUntilEmpty(spark.sparkContext)
     spark.sparkContext.removeSparkListener(listener)
     val ds = durations.synchronized(durations.toVector).sorted
     assert(ds.nonEmpty)
