@@ -503,14 +503,22 @@ object SparkEntry {
     }),
 
     "q40_ann_ivf" -> ((s, dir) => {
-      // IVF coarse-quantizer ANN: 16 deterministic unit-norm centroids,
-      // map-side inverted-list assignment, queries probe their top-3 lists.
-      // Scanned work per query = 3/16 of the corpus vs the brute path's 1.
+      // IVF ANN with a LEARNED coarse quantizer (round-4 verdict #2): a
+      // deterministic hash-ordered sample + fixed-iteration spherical
+      // k-means fits √N (capped) unit-norm centroids ON THE DATA; corpus
+      // assignment is one map-side projection, queries probe their top-3
+      // lists. The DuckDB oracle re-runs the ENTIRE fit in SQL (the
+      // centroids are data, not constants) — every float reduction has a
+      // defined order so both engines land on identical bits. The 64-
+      // centroid cap here is the oracle-cost gate knob (interpreted list
+      // lambdas); the engine default is 1024, and the √N scaling of the
+      // probed fraction is gated by IvfLearnedSpec at two corpus sizes.
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
+      val model = graft.operators.IvfLearned.fit(emb, dim = 64, iters = 5, maxCentroids = 64)
       val qs = emb.filter(col("vid") % 40 === 0)
         .select(col("vid").as("qid"), col("vec").as("qvec"))
-      graft.operators.Ann.ivfTopK(qs, emb, k = 5, dim = 64, nCentroids = 16, nProbe = 3)
+      graft.operators.IvfLearned.ivfTopK(qs, emb, k = 5, dim = 64, model, nProbe = 3)
     }),
 
     "q41_rasterize" -> ((s, dir) => {
@@ -1241,25 +1249,12 @@ object SparkEntry {
       "SELECT vid_a, vid_b, cos FROM pr WHERE cos >= 0.99")
     },
 
-    "q40_ann_ivf" -> {
-      import graft.operators.Ann
-      val ss = Ann.centroidScoresSql("v", 64, 16)
-      val qss = Ann.centroidScoresSql("qv", 64, 16)
-      ("WITH e AS (SELECT vec_id AS vid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-      s"ca AS (SELECT vid, v, list_position($ss, list_max($ss)) - 1 AS cid FROM e), " +
-      s"q AS (SELECT vid AS qid, v AS qv, $qss AS qss FROM e WHERE vid % 40 = 0), " +
-      "qx AS (SELECT qid, qv, u.cid AS cid, u.score AS score FROM (SELECT qid, qv, " +
-      "unnest(list_transform(range(1, 17), i -> {'cid': i - 1, 'score': qss[CAST(i AS INTEGER)]})) AS u FROM q)), " +
-      "qp AS (SELECT qid, qv, cid FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid ASC) AS crk FROM qx) WHERE crk <= 3), " +
-      "pr AS (SELECT qid, vid, " +
-      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS dt, " +
-      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> qv[CAST(i AS INTEGER)] * qv[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS nq, " +
-      "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i -> v[CAST(i AS INTEGER)] * v[CAST(i AS INTEGER)])), (acc, x) -> acc + x) AS nv " +
-      "FROM qp JOIN ca USING (cid) WHERE qid <> vid) " +
-      "SELECT qid, vid, dt / (sqrt(nq) * sqrt(nv)) AS cos, " +
-      "CAST(row_number() OVER (PARTITION BY qid ORDER BY dt / (sqrt(nq) * sqrt(nv)) DESC, vid ASC) AS BIGINT) AS rk " +
-      "FROM pr QUALIFY rk <= 5")
-    },
+    // the oracle RE-RUNS THE ENTIRE FIT in SQL (deterministic sample,
+    // 5 fixed k-means iterations as unrolled CTEs) — the centroids are
+    // data, not constants, so the oracle derives them from the same table
+    "q40_ann_ivf" ->
+      graft.operators.IvfLearned.oracleSql(dim = 64, iters = 5,
+        maxCentroids = 64, k = 5, nProbe = 3, queryMod = 40),
 
     "q41_rasterize" ->
       (s"WITH $P, t AS (SELECT ${Synth.lon2TileSql("lon", 9)} AS x, ${Synth.lat2TileSql("lat", 9)} AS y, " +

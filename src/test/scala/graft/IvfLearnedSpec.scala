@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Ann, IvfLearned}
+
+/** Learned IVF coarse quantizer (round-4 verdict "missing" #2): with
+  * nCentroids ~ √N fitted ON THE DATA, the per-query probed fraction of
+  * the corpus must SHRINK as the corpus grows — the property the old
+  * 16-fixed-centroid design could not have (probed volume stayed
+  * nProbe/16 of the corpus at any scale). Gated here on a deterministic
+  * clustered corpus at two sizes, plus a recall floor against the exact
+  * brute-force ranking to show the learned lists land where the data is.
+  */
+class IvfLearnedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val Dim = 16
+  private val NClusters = 24
+
+  /** deterministic clustered corpus: NClusters centers on the unit
+    * sphere (golden-ratio angle mix), members = center + small
+    * deterministic jitter. No RNG — same bits every run.
+    */
+  private def clustered(n: Int): DataFrame = {
+    import spark.implicits._
+    val centers = Array.tabulate(NClusters) { c =>
+      val v = Array.tabulate(Dim)(i =>
+        math.sin(1.0 + c * 0.618033988749895 + i * 1.323) +
+        math.cos(0.5 + c * 1.414213562373095 * (i + 1)))
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / nn)
+    }
+    (0 until n).map { id =>
+      val c = id % NClusters
+      val jit = Array.tabulate(Dim)(i => 0.08 * math.sin(id * 0.7071 + i * 2.113))
+      val v = centers(c).zip(jit).map { case (a, b) => a + b }
+      (id.toLong, v.toSeq)
+    }.toDF("vid", "vec")
+  }
+
+  /** measured probed fraction: rows of the corpus actually scanned per
+    * query under the fitted model (corpus rows in each query's nProbe
+    * lists), as a fraction of N·|queries|.
+    */
+  private def probedFraction(corpus: DataFrame, model: IvfLearned.IvfModel,
+                             nProbe: Int, n: Long): Double = {
+    val qs = corpus.filter(col("vid") % 25 === 0)
+      .select(col("vid").as("qid"), col("vec").as("qvec"))
+    val nq = qs.count()
+    val listSizes = corpus
+      .withColumn("cid", IvfLearned.assignCid(col("vec"), model))
+      .groupBy("cid").count()
+    val probed = qs
+      .select(col("qid"), posexplode(
+        transform(typedlit(model.centroids.map(_.toSeq).toSeq),
+          c => Ann.dot(col("qvec"), c))).as(Seq("cid", "score")))
+      .withColumn("crk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("score").desc, col("cid").asc)))
+      .filter(col("crk") <= nProbe)
+      .join(listSizes, Seq("cid"))
+      .agg(sum("count")).head().getLong(0)
+    probed.toDouble / (n.toDouble * nq)
+  }
+
+  test("nCentroids grows as sqrt(N) under the engine cap") {
+    assert(IvfLearned.nCentroidsFor(1000L, 1024) == 32)
+    assert(IvfLearned.nCentroidsFor(16000L, 1024) == 127)
+    assert(IvfLearned.nCentroidsFor(1000000L, 1024) == 1000)
+    assert(IvfLearned.nCentroidsFor(10L, 1024) == 4)     // floor clamp
+    assert(IvfLearned.nCentroidsFor(1L << 40, 1024) == 1024) // cap clamp
+  }
+
+  test("probed fraction shrinks as the corpus grows (sqrt-N scaling)") {
+    val n1 = 1000; val n2 = 16000
+    val c1 = clustered(n1); val c2 = clustered(n2)
+    val m1 = IvfLearned.fit(c1, Dim, iters = 5, maxCentroids = 1024)
+    val m2 = IvfLearned.fit(c2, Dim, iters = 5, maxCentroids = 1024)
+    assert(m1.k == 32 && m2.k == 127)
+    val f1 = probedFraction(c1, m1, nProbe = 3, n1)
+    val f2 = probedFraction(c2, m2, nProbe = 3, n2)
+    // 16× corpus, ~4× lists: probed fraction must drop materially —
+    // the √N design predicts ~4×; require >2× to stay drift-proof
+    assert(f2 < f1 / 2.0,
+      s"probed fraction did not shrink with N: f1=$f1 f2=$f2")
+    // and the old fixed-16 design's floor for comparison: 3/16 ≈ 0.19.
+    // the learned model at 16k must probe well under that
+    assert(f2 < 0.1, s"probed fraction $f2 not below the fixed-16 floor")
+  }
+
+  test("learned lists keep recall: ivfTopK@5 vs exact brute cosine") {
+    import spark.implicits._
+    val n = 4000
+    val corpus = clustered(n)
+    val model = IvfLearned.fit(corpus, Dim, iters = 5, maxCentroids = 1024)
+    val qs = corpus.filter(col("vid") % 100 === 0)
+      .select(col("vid").as("qid"), col("vec").as("qvec"))
+    val got = IvfLearned.ivfTopK(qs, corpus, k = 5, Dim, model, nProbe = 3)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val want = Ann.cosineTopK(qs, corpus, k = 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = (got & want).size.toDouble / want.size
+    // clustered data + 3 probes over 63 lists: the true neighbors live in
+    // the query's own cluster's list(s); require a high floor
+    assert(recall >= 0.9, s"recall@5 = $recall below floor (got=${got.size}, want=${want.size})")
+  }
+}
