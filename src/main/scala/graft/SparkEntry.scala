@@ -656,6 +656,20 @@ object SparkEntry {
       graft.operators.Dedup.nearDupPairsExact(docs, "doc_id", "text",
         bands = 4, rowsPerBand = 4, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    }),
+
+    "q48_image_decode" -> ((s, dir) => {
+      // REAL image decode (round-4 verdict #3): one deterministic PNG per
+      // sampled document (pixel = exact integer fn of id,x,y), pushed
+      // through the ACTUAL javax.imageio decoder in the per-partition
+      // shape, then 4×4-grid channel means from the decoded raster. The
+      // oracle replays the pixel function in SQL — PNG is lossless, so
+      // encode→decode→stats must reproduce the oracle bits exactly; any
+      // codec drift (color model, row order, truncation) breaks the hash.
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      val pngs = graft.operators.Media.synthPng(s, ids, "doc_id", w = 16, h = 16)
+      graft.operators.Media.imageGridStats(s, pngs, "media_id", "png", grid = 4)
     })
   )
 
@@ -1266,6 +1280,22 @@ object SparkEntry {
       s"${Synth.lon2TileSql("lon", 11)} AS fx, ${Synth.lat2TileSql("lat", 11)} AS fy FROM pts), " +
       "r AS (SELECT x, y, fy - y * 64 AS py, fx - x * 64 AS px, count(*) AS n FROM t GROUP BY 1, 2, 3, 4), " +
       "i AS (SELECT x, y, py, px, n, px - row_number() OVER (PARTITION BY x, y, py ORDER BY px ASC) AS isl FROM r) " +
-      "SELECT x, y, py, min(px) AS px0, max(px) AS px1, CAST(sum(n) AS BIGINT) AS n_pts FROM i GROUP BY x, y, py, isl")
+      "SELECT x, y, py, min(px) AS px0, max(px) AS px1, CAST(sum(n) AS BIGINT) AS n_pts FROM i GROUP BY x, y, py, isl"),
+
+    // replays Media.synthPixel + the 4×4-grid means directly in SQL; the
+    // engine side must round-trip the same values through REAL PNG bytes
+    // and the REAL javax.imageio decoder (16×16 px, 4-px cells, means are
+    // integer-sum/16 — exact in both engines)
+    "q48_image_decode" ->
+      ("WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0), " +
+      "px AS (SELECT doc_id, xs.x AS x, ys.y AS y FROM ids " +
+      "CROSS JOIN (SELECT unnest(range(16)) AS x) xs " +
+      "CROSS JOIN (SELECT unnest(range(16)) AS y) ys) " +
+      "SELECT doc_id AS media_id, CAST(x // 4 AS INTEGER) AS cell_x, " +
+      "CAST(y // 4 AS INTEGER) AS cell_y, " +
+      "avg((doc_id * 7 + x * 13 + y * 17) % 256) AS mean_r, " +
+      "avg((doc_id * 11 + x * 3 + y * 29) % 256) AS mean_g, " +
+      "avg((doc_id * 5 + x * 23 + y * 7) % 256) AS mean_b " +
+      "FROM px GROUP BY 1, 2, 3")
   )
 }

@@ -360,6 +360,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(f1.sortBy(_.frame).head.feature.toSeq == f2.sortBy(_.frame).head.feature.toSeq)
   }
 
+  test("real image decode: ImageIO round-trips PNG and JPEG, skips poison blobs") {
+    import spark.implicits._
+    // PNG is lossless: decoded raster must equal the synth pixel function
+    val ids = Seq(3L, 40L, 1234L).toDF("doc_id")
+    val pngs = Media.synthPng(spark, ids, "doc_id", w = 16, h = 16)
+      .as[(Long, Array[Byte])].collect().toMap
+    assert(pngs.keySet == Set(3L, 40L, 1234L))
+    // the bytes are REAL PNGs (magic header), not hashes
+    assert(pngs(3L).take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val im = Media.decodeImage(pngs(1234L)).get
+    assert(im.width == 16 && im.height == 16)
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val (r, g, b) = Media.synthPixel(1234L, x, y)
+      val p = im.argb(y * 16 + x)
+      assert(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF) == ((r, g, b)))
+    }
+    // JPEG: lossy, but the real decoder must produce the right dims and
+    // pixels within quantization error of the source raster
+    val src = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 16; y <- 0 until 16) src.setRGB(x, y, 0x808080)
+    val jb = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(src, "jpg", jb)
+    val jm = Media.decodeImage(jb.toByteArray).get
+    assert(jm.width == 16 && jm.height == 16)
+    assert(math.abs(((jm.argb(0) >> 16) & 0xFF) - 0x80) <= 8)
+    // poison blobs skip cleanly (None), never throw
+    assert(Media.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Media.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Media.decodeImage("not an image at all".getBytes).isEmpty)
+    // and a frame with poison rows still yields stats for the good rows
+    val mixed = pngs.toSeq.toDF("media_id", "png")
+      .union(Seq((999L, Array[Byte](9, 9, 9))).toDF("media_id", "png"))
+    val stats = Media.imageGridStats(spark, mixed, "media_id", "png", grid = 4)
+    assert(stats.select("media_id").distinct().count() == 3) // 999 skipped
+    assert(stats.count() == 48) // 3 images × 16 cells
+  }
+
   test("raster-vector tile join parses media refs to cells") {
     import spark.implicits._
     val docs = graft.sources.DocsTable.docs(spark, dir)
