@@ -336,6 +336,82 @@ object Knn {
     (exactPart, uncertified)
   }
 
+  // ---- dense-cell sub-index (round-4 verdict #5; kdtree.go:22-77) ----
+  //
+  // A cell with 100× the target density makes the candidate join's work
+  // quadratic within that cell: every query replicated to its 3×3 block
+  // pairs with every point in the hot cell (AQE splits the TASKS, but
+  // the total pair enumeration stands). The reference escapes this by
+  // kd-tree descent — the tree is simply DEEPER where the data is dense.
+  // The distributed analogue is adaptive grid deepening: detect cells
+  // whose population exceeds `denseFactor`× the ~15-pt target with one
+  // map-side-combined count-by-cell, then serve queries near those cells
+  // from a PRE-LEVEL at a deeper zoom chosen to restore ~15 pts/cell
+  // (cell area shrinks 4× per zoom step). Certified deep results are
+  // exact as always; the (small) remainder re-enters the standard
+  // expanding chain. Queries nowhere near a dense cell pay nothing new.
+
+  /** dense cells at zoom z: packed (tx<<z)|ty keys of cells holding more
+    * than `threshold` points, capped (the everything-dense regime is
+    * handled by a global deepen, not a per-cell set).
+    */
+  private[graft] def denseCellsOf(points: DataFrame, z: Int, threshold: Long,
+                                  cap: Int): (Array[Long], Long) = {
+    val cellCol = shiftleft(st_lon2tile(col("lon"), lit(z)), z)
+      .bitwiseOR(st_lat2tile(col("lat"), lit(z)))
+    val rows = points.select(cellCol.as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > threshold)
+      .orderBy(col("cnt").desc, col("cell").asc)
+      .limit(cap + 1)
+      .collect()
+    (rows.map(_.getLong(0)), if (rows.isEmpty) 0L else rows.map(_.getLong(1)).max)
+  }
+
+  /** extra zoom depth restoring ~15 pts/cell for a cell of `cellCount`
+    * points (4× fewer per step), clamped so the packed key stays sound.
+    */
+  private[graft] def deepZoomFor(z: Int, cellCount: Long): Int = {
+    val steps = math.ceil(math.log(math.max(1.0, cellCount / 15.0)) / math.log(4.0)).toInt
+    math.min(16, z + math.max(1, steps))
+  }
+
+  private val MaxDenseCells = 4096
+
+  /** `knnJoin` with the dense-cell sub-index. Costs one extra count-by-
+    * cell pass over the points (map-side combined — the shuffle carries
+    * one row per OCCUPIED CELL, not per point); use it when density skew
+    * is expected. Exact for the same reason the level chain is exact:
+    * every certified result is certified, every remainder reaches an
+    * exact path, and the dense/sparse query split is a partition of the
+    * query set.
+    */
+  def knnJoinAdaptive(queries: DataFrame, points: DataFrame, k: Int, z: Int,
+                      denseFactor: Int = 64): DataFrame = {
+    val (dense, maxCnt) = denseCellsOf(points, z, denseFactor.toLong * 15L, MaxDenseCells)
+    if (dense.isEmpty) return knnJoinExpanding(queries, points, k, z)
+    val zDeep = deepZoomFor(z, maxCnt)
+    if (dense.length > MaxDenseCells) {
+      // everything is dense: z itself was wrong for this corpus — deepen
+      // globally instead of building an unbounded cell set
+      return knnJoinExpanding(queries, points, k, zDeep)
+    }
+    // a query is dense-adjacent when ANY of its 3×3 cells at z is dense —
+    // exactly the cells its candidate join would enumerate
+    val denseSet = dense.toSet
+    val qCellAny = (-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
+      shiftleft(st_lon2tile(col("qlon"), lit(z)) + dx, z)
+        .bitwiseOR(st_lat2tile(col("qlat"), lit(z)) + dy)
+        .isin(denseSet.toSeq: _*))).reduce(_ || _)
+    val qDense = materialize(queries.filter(qCellAny))
+    val qSparse = queries.filter(!qCellAny)
+    val (deepExact, deepRest) =
+      knnLevel(qDense, prunePointsToQueryCells(points, qDense, zDeep), k, zDeep)
+    deepExact
+      .unionByName(knnJoinExpanding(deepRest.drop("bound_d2"), points, k, z))
+      .unionByName(knnJoinExpanding(qSparse, points, k, z))
+  }
+
   /** queries(qid, lon, lat) × points(pid, lon, lat) → (qid, nid, dist2, rk). */
   def knnJoin(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame =
     knnJoinExpanding(queries, points, k, z)
