@@ -88,6 +88,34 @@ class CodecSpec extends AnyFunSuite {
     assert(Wkb.decode(bytes) == GPoint((1.0, 2.0)))
   }
 
+  test("wkt decode: Z/M/ZM rejected like the reference public decoder (wkt_decode.go:155-173,380-452)") {
+    // The reference's PUBLIC wkt.Decode path is strictly 2-D: readPoint reads
+    // exactly two floats, and a dimension tag after the geometry keyword hits
+    // the '(' expectation. (The M/ZM tolerance in internal/token/token.go:153-204
+    // is reachable only from the unexported fuzz cmd, not the public API.)
+    intercept[Wkt.ParseException] { Wkt.decode("POINT Z (1 2 3)") }
+    intercept[Wkt.ParseException] { Wkt.decode("POINT M (1 2 3)") }
+    intercept[Wkt.ParseException] { Wkt.decode("POINT ZM (1 2 3 4)") }
+    intercept[Wkt.ParseException] { Wkt.decode("POINT (1 2 3)") }
+    intercept[Wkt.ParseException] { Wkt.decode("LINESTRING (1 2 3, 4 5 6)") }
+    intercept[Wkt.ParseException] { Wkt.decode("POLYGON Z ((0 0 0, 1 0 0, 1 1 0, 0 0 0))") }
+    // keyword glued to '(' stays legal in both decoders
+    assert(Wkt.decode("POINT(1 2)") == GPoint((1, 2)))
+  }
+
+  test("wkb decode: Z/M/ZM type codes rejected (wkb.go:149 ErrUnknownGeometryType)") {
+    // Both decoders mask ONLY the EWKB SRID flag off the raw type word; ISO
+    // Z/M codes (base+1000/2000/3000) and the 0x80000000 Z-flag form fall
+    // through to the unknown-type error.
+    def le(tpe: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(1 + 4 + 32).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(1.toByte).putInt(tpe).putDouble(1.0).putDouble(2.0).putDouble(3.0)
+      bb.array()
+    }
+    for (tpe <- Seq(1001, 2001, 3001, 0x80000001))
+      intercept[Wkb.WkbException] { Wkb.decode(le(tpe)) }
+  }
+
   test("geometry equality via cmp (compare.go normalization)") {
     val c = Cmp.Default
     // polygons equal regardless of ring rotation
