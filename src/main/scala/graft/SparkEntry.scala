@@ -670,6 +670,18 @@ object SparkEntry {
         .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
       val pngs = graft.operators.Media.synthPng(s, ids, "doc_id", w = 16, h = 16)
       graft.operators.Media.imageGridStats(s, pngs, "media_id", "png", grid = 4)
+    }),
+
+    "q49_neardup_clusters" -> ((s, dir) => {
+      // pairs → CLUSTERS: the q44 near-dup pairs closed into connected
+      // components (alternating large-star/small-star — min-agg + join per
+      // round, no per-node collect), min doc id elected keeper, singletons
+      // joined back as their own cluster. `filter(keeper)` IS the deduped
+      // corpus; the oracle closes the same pairs with a recursive CTE.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Dedup.nearDupClusters(docs, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, threshold = 0.5)
+        .select(col("doc"), col("rep"), col("csize"), col("keeper"))
     })
   )
 
@@ -723,6 +735,32 @@ object SparkEntry {
     s"[9, ${zz("pa")}, ${zz("qb")}, 18, ${zz("pa - pa")}, ${zz("qt - qb")}, ${zz("pc - pa")}, ${zz("qc - qt")}, 15, " +
     s"9, ${zz("pl - pc")}, ${zz("qb - qc")}, 18, ${zz("pc - pl")}, ${zz("qc - qb")}, ${zz("pl - pc")}, ${zz("qt - qc")}, 15] END AS cmds FROM px)")
   }
+
+  /** q44's DuckDB pair derivation, shared verbatim by q49's clustering
+    * oracle: 16-perm MinHash signatures, 4×4 banding, first-shared-band
+    * candidate dedupe, estimated-Jaccard ≥ 0.5 verify.
+    */
+  private val neardupPairCtes: String =
+    ("w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), "
+    + "sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+    + "ELSE list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles FROM w), "
+    + "h AS (SELECT doc_id, list_transform(shingles, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    + "list_transform(range(1, CAST(length(s) AS BIGINT) + 1), j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT))), "
+    + "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM sh), "
+    + "sg AS (SELECT doc_id, [list_min(list_transform(hs, h -> ((1 * h) + 1) % 1000000007)), list_min(list_transform(hs, h -> ((3 * h) + 2) % 1000000007)), list_min(list_transform(hs, h -> ((5 * h) + 5) % 1000000007)), list_min(list_transform(hs, h -> ((7 * h) + 10) % 1000000007)), list_min(list_transform(hs, h -> ((9 * h) + 17) % 1000000007)), list_min(list_transform(hs, h -> ((11 * h) + 26) % 1000000007)), list_min(list_transform(hs, h -> ((13 * h) + 37) % 1000000007)), list_min(list_transform(hs, h -> ((15 * h) + 50) % 1000000007)), list_min(list_transform(hs, h -> ((17 * h) + 65) % 1000000007)), list_min(list_transform(hs, h -> ((19 * h) + 82) % 1000000007)), list_min(list_transform(hs, h -> ((21 * h) + 101) % 1000000007)), list_min(list_transform(hs, h -> ((23 * h) + 122) % 1000000007)), list_min(list_transform(hs, h -> ((25 * h) + 145) % 1000000007)), list_min(list_transform(hs, h -> ((27 * h) + 170) % 1000000007)), list_min(list_transform(hs, h -> ((29 * h) + 197) % 1000000007)), list_min(list_transform(hs, h -> ((31 * h) + 226) % 1000000007))] AS sig FROM h), "
+    + "bb AS (SELECT doc_id, sig, "
+    + "(((((((((sig[1]) * 31 + sig[2]) % 1000000007)) * 31 + sig[3]) % 1000000007)) * 31 + sig[4]) % 1000000007) AS h0, (((((((((sig[5]) * 31 + sig[6]) % 1000000007)) * 31 + sig[7]) % 1000000007)) * 31 + sig[8]) % 1000000007) AS h1, (((((((((sig[9]) * 31 + sig[10]) % 1000000007)) * 31 + sig[11]) % 1000000007)) * 31 + sig[12]) % 1000000007) AS h2, (((((((((sig[13]) * 31 + sig[14]) % 1000000007)) * 31 + sig[15]) % 1000000007)) * 31 + sig[16]) % 1000000007) AS h3 FROM sg), "
+    + "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb, t.band "
+    + "FROM bb a JOIN bb b ON a.doc_id < b.doc_id "
+    + "CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) t "
+    + "WHERE (CASE t.band WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1 WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END) "
+    + "AND (t.band < 1 OR a.h0 <> b.h0) AND (t.band < 2 OR a.h1 <> b.h1) AND (t.band < 3 OR a.h2 <> b.h2))")
+
+  private val neardupPairSelect: String =
+    ("SELECT doc_a, doc_b, "
+    + "CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard "
+    + "FROM pr "
+    + "WHERE CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5")
 
   def oracleSql: Map[String, String] = Map(
     "q01_tile_assign" ->
@@ -1041,27 +1079,24 @@ object SparkEntry {
     // q24 permutation family), 4 bands x 4 rows, candidate pairs from
     // shared band buckets, emitted only from the FIRST shared band,
     // verified by estimated Jaccard >= 0.5
-    "q44_neardup_pairs" -> {
-      ("WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), "
-      + "sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
-      + "ELSE list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles FROM w), "
-      + "h AS (SELECT doc_id, list_transform(shingles, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
-      + "list_transform(range(1, CAST(length(s) AS BIGINT) + 1), j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT))), "
-      + "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM sh), "
-      + "sg AS (SELECT doc_id, [list_min(list_transform(hs, h -> ((1 * h) + 1) % 1000000007)), list_min(list_transform(hs, h -> ((3 * h) + 2) % 1000000007)), list_min(list_transform(hs, h -> ((5 * h) + 5) % 1000000007)), list_min(list_transform(hs, h -> ((7 * h) + 10) % 1000000007)), list_min(list_transform(hs, h -> ((9 * h) + 17) % 1000000007)), list_min(list_transform(hs, h -> ((11 * h) + 26) % 1000000007)), list_min(list_transform(hs, h -> ((13 * h) + 37) % 1000000007)), list_min(list_transform(hs, h -> ((15 * h) + 50) % 1000000007)), list_min(list_transform(hs, h -> ((17 * h) + 65) % 1000000007)), list_min(list_transform(hs, h -> ((19 * h) + 82) % 1000000007)), list_min(list_transform(hs, h -> ((21 * h) + 101) % 1000000007)), list_min(list_transform(hs, h -> ((23 * h) + 122) % 1000000007)), list_min(list_transform(hs, h -> ((25 * h) + 145) % 1000000007)), list_min(list_transform(hs, h -> ((27 * h) + 170) % 1000000007)), list_min(list_transform(hs, h -> ((29 * h) + 197) % 1000000007)), list_min(list_transform(hs, h -> ((31 * h) + 226) % 1000000007))] AS sig FROM h), "
-      + "bb AS (SELECT doc_id, sig, "
-      + "(((((((((sig[1]) * 31 + sig[2]) % 1000000007)) * 31 + sig[3]) % 1000000007)) * 31 + sig[4]) % 1000000007) AS h0, (((((((((sig[5]) * 31 + sig[6]) % 1000000007)) * 31 + sig[7]) % 1000000007)) * 31 + sig[8]) % 1000000007) AS h1, (((((((((sig[9]) * 31 + sig[10]) % 1000000007)) * 31 + sig[11]) % 1000000007)) * 31 + sig[12]) % 1000000007) AS h2, (((((((((sig[13]) * 31 + sig[14]) % 1000000007)) * 31 + sig[15]) % 1000000007)) * 31 + sig[16]) % 1000000007) AS h3 FROM sg), "
-      + "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb, t.band "
-      + "FROM bb a JOIN bb b ON a.doc_id < b.doc_id "
-      + "CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) t "
-      + "WHERE (CASE t.band WHEN 0 THEN a.h0 = b.h0 WHEN 1 THEN a.h1 = b.h1 WHEN 2 THEN a.h2 = b.h2 ELSE a.h3 = b.h3 END) "
-      + "AND (t.band < 1 OR a.h0 <> b.h0) AND (t.band < 2 OR a.h1 <> b.h1) AND (t.band < 3 OR a.h2 <> b.h2)) "
-      + "SELECT doc_a, doc_b, "
-      + "CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 AS est_jaccard "
-      + "FROM pr "
-      + "WHERE CAST(list_sum(list_transform(range(1, 17), i -> CASE WHEN sa[CAST(i AS INTEGER)] = sb[CAST(i AS INTEGER)] THEN 1 ELSE 0 END)) AS DOUBLE) / 16 >= 0.5")
-    },
+    "q44_neardup_pairs" -> s"WITH $neardupPairCtes $neardupPairSelect",
 
+    // near-dup pairs clustered into components: the q44 pair derivation
+    // verbatim as a CTE, closed transitively with a recursive CTE (UNION
+    // set semantics terminate it), rep = min reachable id, singletons
+    // joined back from documents with csize 1
+    "q49_neardup_clusters" -> {
+      (s"WITH RECURSIVE $neardupPairCtes, "
+      + s"pairs AS ($neardupPairSelect), "
+      + "sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs UNION SELECT doc_b AS a, doc_a AS b FROM pairs), "
+      + "reach(a, b) AS (SELECT a, b FROM sym "
+      + "UNION SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a WHERE s.b <> r.a), "
+      + "root AS (SELECT a, least(a, min(b)) AS rep FROM reach GROUP BY a), "
+      + "cl AS (SELECT d.doc_id AS doc, COALESCE(r.rep, d.doc_id) AS rep "
+      + "FROM documents d LEFT JOIN root r ON r.a = d.doc_id) "
+      + "SELECT doc, rep, CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize, "
+      + "doc = rep AS keeper FROM cl")
+    },
     // exact n-gram Jaccard: q44's band machinery as the recall stage (any
     // shared band, first-shared-band dedupe, NO estimate threshold), then
     // exact shingle-set Jaccard — distinct intersection over distinct union

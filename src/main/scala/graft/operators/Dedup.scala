@@ -188,4 +188,89 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
+
+  /** Connected components over an undirected pair frame — the alternating
+    * large-star / small-star algorithm (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): O(log² n) rounds
+    * worst-case (log n on typical graphs), each round a min-aggregate
+    * plus a key join — never a per-node collect_set, so a single
+    * high-degree hub (a boilerplate string duplicated millions of times)
+    * stays an aggregate, not an executor-memory spike.
+    *
+    * Input: (a, b) pairs, any orientation, self-loops/dups tolerated.
+    * Output: (node, rep) with rep = min node id of the component, one row
+    * per node that appears in a pair (callers left-join for singletons).
+    *
+    * Scale notes: the edge frame is the candidate-PAIR set — orders of
+    * magnitude smaller than the corpus — and shrinks toward one star per
+    * component as rounds proceed. Each round localCheckpoints eagerly:
+    * iterative self-joins otherwise stack an exponentially deep lineage
+    * that re-executes from round 0 on any retry (on a real cluster use
+    * reliable `checkpoint` over a DFS dir for executor-loss safety).
+    * Convergence is detected by a fixed edge set, checked with a count
+    * on the changed-rows anti-join (driver sees one scalar per round).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+                          bCol: String = "doc_b", maxRounds: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical (a > b) orientation; drop self loops
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("a"), least(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+
+    def minOverNbr(sym: DataFrame): DataFrame =
+      sym.groupBy("u").agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // large-star: symmetrize; connect every strictly-larger neighbor of
+      // u to m = min(Γ(u) ∪ {u})
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val ls = sym.join(minOverNbr(sym), "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // small-star: edges already point large→small (a > b); connect every
+      // small-side neighbor of u, and u itself, to m = min(Γ(u) ∪ {u})
+      val dir = ls.select(col("a").as("u"), col("b").as("v"))
+      val mins = minOverNbr(dir)
+      val ss = dir.join(mins, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val changed = ss.exceptAll(edges).limit(1).count() + edges.exceptAll(ss).limit(1).count()
+      done = changed == 0
+      edges = ss
+      round += 1
+    }
+    // fixpoint is a star forest: every edge is (node, componentMin); add
+    // the roots themselves so the map is total over nodes seen in pairs
+    edges.select(col("a").as("node"), col("b").as("rep"))
+      .union(edges.select(col("b"), col("b")).distinct())
+  }
+
+  /** Near-dup CLUSTERING — pairs are evidence, clusters are the dedup
+    * deliverable: group transitively-linked docs, elect the min doc id as
+    * the canonical keeper, and tag every doc with (rep, csize, keeper).
+    * Singletons (no near-dup) are their own rep with csize 1, so the
+    * output is a total map over the corpus — `filter(keeper)` IS the
+    * deduplicated dataset.
+    */
+  def nearDupClusters(docs: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 4, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(docs, idCol, textCol, bands, rowsPerBand, threshold)
+    val cc = connectedComponents(pairs)
+    docs.select(col(idCol).as("doc"))
+      .join(cc.withColumnRenamed("node", "doc"), Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("rep"), col("doc")).as("rep"))
+      .withColumn("csize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
+      .withColumn("keeper", col("doc") === col("rep"))
+  }
 }

@@ -587,6 +587,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(countOf("kind") == 1 && countOf("src") == 1 && countOf("a") == 1)
   }
 
+  test("connectedComponents matches driver union-find on random graphs") {
+    import spark.implicits._
+    // deterministic LCG-driven edge sets of varying density
+    def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      nodes.map(v => v -> find(v)).toMap
+    }
+    for (seed <- Seq(7L, 1234L); m <- Seq(40, 300)) {
+      var s = seed
+      def next(mod: Int): Long = { s = (s * 6364136223846793005L + 1442695040888963407L); math.floorMod(s >>> 17, mod).toLong }
+      val edges = (0 until m).map(_ => (next(200), next(200))).filter(e => e._1 != e._2)
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == unionFind(200, edges), s"seed=$seed m=$m")
+    }
+  }
+
+  test("connectedComponents: 64-node path collapses to one star (log-round worst case)") {
+    import spark.implicits._
+    // a path graph maximizes diameter — naive min-label propagation needs
+    // 64 rounds; the alternating star algorithm must stay well under the
+    // round cap
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val cc = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b")).collect()
+    assert(cc.length == 64 && cc.forall(_.getLong(1) == 0L))
+  }
+
+  test("nearDupClusters: total over the corpus, keeper = min id, singletons csize 1") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val cl = Dedup.nearDupClusters(docs, "doc_id", "text").cache()
+    assert(cl.count() == docs.count()) // one row per doc
+    // rep is the component minimum: no member smaller than its rep
+    assert(cl.filter(col("doc") < col("rep")).count() == 0)
+    // keeper iff doc == rep, exactly one keeper per cluster
+    assert(cl.filter(col("keeper") =!= (col("doc") === col("rep"))).count() == 0)
+    val perRep = cl.filter(col("keeper")).groupBy("rep").count()
+    assert(perRep.filter(col("count") =!= 1).count() == 0)
+    // clusters agree with the pair evidence: every pair endpoint shares a rep
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text")
+    val reps = cl.select(col("doc"), col("rep"))
+    val joined = pairs
+      .join(reps.withColumnRenamed("doc", "doc_a").withColumnRenamed("rep", "ra"), Seq("doc_a"))
+      .join(reps.withColumnRenamed("doc", "doc_b").withColumnRenamed("rep", "rb"), Seq("doc_b"))
+    assert(joined.filter(col("ra") =!= col("rb")).count() == 0)
+    cl.unpersist()
+  }
+
   test("multi-zoom tile rollup emits all requested zooms") {
     val docs = graft.sources.DocsTable.docs(spark, dir)
     val polys = graft.sources.DocsTable.extractGeometries(docs)
