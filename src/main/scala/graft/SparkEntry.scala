@@ -682,6 +682,27 @@ object SparkEntry {
       graft.operators.Dedup.nearDupClusters(docs, "doc_id", "text",
         bands = 4, rowsPerBand = 4, threshold = 0.5)
         .select(col("doc"), col("rep"), col("csize"), col("keeper"))
+    }),
+
+    "q50_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: distinct shingle hashes of a small
+      // "benchmark" slice (every 97th doc) broadcast against the exploded
+      // corpus shingles; per-doc overlap counted in ONE shuffle. minHits=2
+      // keeps the flag non-trivial (a single shared stock phrase passes).
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.operators.Curation.contamination(docs, "doc_id", "text",
+        bench, "text", minHits = 2)
+        .select(col("doc"), col("n_sh"), col("hits"), col("contaminated"))
+    }),
+
+    "q51_quota_sample" -> ((s, dir) => {
+      // per-source quota: keep the 5 longest docs per source (doc_id
+      // tiebreak) — rank+filter form so InferWindowGroupLimit keeps the
+      // map-side partial top-k below the source exchange
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.quotaSample(docs, "source", "doc_id", "n_chars", quota = 5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
     })
   )
 
@@ -740,13 +761,20 @@ object SparkEntry {
     * oracle: 16-perm MinHash signatures, 4×4 banding, first-shared-band
     * candidate dedupe, estimated-Jaccard ≥ 0.5 verify.
     */
-  private val neardupPairCtes: String =
+  /** documents → word-3-shingle hash lists (`h(doc_id, hs)`) — the DuckDB
+    * replay of the `shingle_hashes` expression, shared by the near-dup and
+    * decontamination oracles.
+    */
+  private val shingleCtes: String =
     ("w AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS words FROM documents), "
     + "sh AS (SELECT doc_id, CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
     + "ELSE list_transform(range(1, len(words) - 1), i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) END AS shingles FROM w), "
     + "h AS (SELECT doc_id, list_transform(shingles, s -> list_reduce(list_prepend(CAST(0 AS BIGINT), "
     + "list_transform(range(1, CAST(length(s) AS BIGINT) + 1), j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1)) AS BIGINT))), "
-    + "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM sh), "
+    + "(acc, c) -> ((acc * 31) + c) % 1000000007)) AS hs FROM sh)")
+
+  private val neardupPairCtes: String =
+    (shingleCtes + ", "
     + "sg AS (SELECT doc_id, [list_min(list_transform(hs, h -> ((1 * h) + 1) % 1000000007)), list_min(list_transform(hs, h -> ((3 * h) + 2) % 1000000007)), list_min(list_transform(hs, h -> ((5 * h) + 5) % 1000000007)), list_min(list_transform(hs, h -> ((7 * h) + 10) % 1000000007)), list_min(list_transform(hs, h -> ((9 * h) + 17) % 1000000007)), list_min(list_transform(hs, h -> ((11 * h) + 26) % 1000000007)), list_min(list_transform(hs, h -> ((13 * h) + 37) % 1000000007)), list_min(list_transform(hs, h -> ((15 * h) + 50) % 1000000007)), list_min(list_transform(hs, h -> ((17 * h) + 65) % 1000000007)), list_min(list_transform(hs, h -> ((19 * h) + 82) % 1000000007)), list_min(list_transform(hs, h -> ((21 * h) + 101) % 1000000007)), list_min(list_transform(hs, h -> ((23 * h) + 122) % 1000000007)), list_min(list_transform(hs, h -> ((25 * h) + 145) % 1000000007)), list_min(list_transform(hs, h -> ((27 * h) + 170) % 1000000007)), list_min(list_transform(hs, h -> ((29 * h) + 197) % 1000000007)), list_min(list_transform(hs, h -> ((31 * h) + 226) % 1000000007))] AS sig FROM h), "
     + "bb AS (SELECT doc_id, sig, "
     + "(((((((((sig[1]) * 31 + sig[2]) % 1000000007)) * 31 + sig[3]) % 1000000007)) * 31 + sig[4]) % 1000000007) AS h0, (((((((((sig[5]) * 31 + sig[6]) % 1000000007)) * 31 + sig[7]) % 1000000007)) * 31 + sig[8]) % 1000000007) AS h1, (((((((((sig[9]) * 31 + sig[10]) % 1000000007)) * 31 + sig[11]) % 1000000007)) * 31 + sig[12]) % 1000000007) AS h2, (((((((((sig[13]) * 31 + sig[14]) % 1000000007)) * 31 + sig[15]) % 1000000007)) * 31 + sig[16]) % 1000000007) AS h3 FROM sg), "
@@ -1097,6 +1125,23 @@ object SparkEntry {
       + "SELECT doc, rep, CAST(count(*) OVER (PARTITION BY rep) AS BIGINT) AS csize, "
       + "doc = rep AS keeper FROM cl")
     },
+
+    // decontamination: distinct-shingle overlap of every doc against the
+    // doc_id%97 benchmark slice, replayed with the shared shingle CTEs
+    "q50_decontaminate" -> {
+      (s"WITH $shingleCtes, "
+      + "d AS (SELECT doc_id, list_distinct(hs) AS hs FROM h), "
+      + "bl AS (SELECT list(DISTINCT s) AS l FROM (SELECT unnest(hs) AS s FROM d WHERE doc_id % 97 = 0)), "
+      + "c AS (SELECT doc_id AS doc, len(hs) AS n_sh, "
+      + "len(list_filter(hs, x -> list_contains(bl.l, x))) AS hits FROM d CROSS JOIN bl) "
+      + "SELECT doc, CAST(n_sh AS BIGINT) AS n_sh, CAST(hits AS BIGINT) AS hits, "
+      + "hits >= 2 AS contaminated FROM c")
+    },
+
+    "q51_quota_sample" ->
+      ("SELECT doc_id, source, n_chars, rk FROM (SELECT doc_id, source, n_chars, "
+      + "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk "
+      + "FROM documents) WHERE rk <= 5"),
     // exact n-gram Jaccard: q44's band machinery as the recall stage (any
     // shared band, first-shared-band dedupe, NO estimate threshold), then
     // exact shingle-set Jaccard — distinct intersection over distinct union

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeomFunctions.shingle_hashes
+
+/** Corpus-curation operators for training-data pipelines: benchmark
+  * decontamination and per-key quota sampling. Both are single-shuffle
+  * designs — the pieces a 100 TB pre-training run composes around the
+  * dedup family in [[Dedup]].
+  */
+object Curation {
+
+  /** Benchmark decontamination: for every corpus doc, count how many of
+    * its distinct word-3-shingle hashes appear in ANY benchmark doc, and
+    * flag docs with ≥ minHits as contaminated (the standard pre-training
+    * hygiene step — test-set text must not leak into the corpus).
+    *
+    * Scale shape: the benchmark shingle set is small by definition
+    * (benchmarks are thousands of docs, the corpus is billions), so it is
+    * distinct-ed and BROADCAST; corpus shingles explode map-side into the
+    * broadcast hash join, and the only shuffle is the per-doc hit-count
+    * aggregation — never a corpus×benchmark shuffle join. Output is total
+    * over the corpus: (doc, n_sh, hits, contaminated).
+    */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    minHits: Int = 1): DataFrame = {
+    val bsh = bench
+      .select(explode(array_distinct(shingle_hashes(col(benchTextCol)))).as("sh"))
+      .distinct()
+    val withSh = docs.select(col(idCol).as("doc"),
+      array_distinct(shingle_hashes(col(textCol))).as("shs"))
+    val hits = withSh
+      .select(col("doc"), explode(col("shs")).as("sh"))
+      .join(broadcast(bsh), "sh")
+      .groupBy("doc").agg(count(lit(1)).as("hits"))
+    withSh.select(col("doc"), size(col("shs")).cast("long").as("n_sh"))
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"), col("n_sh"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)) >= minHits).as("contaminated"))
+  }
+
+  /** Per-key quota sampling: keep at most `quota` rows per group, best
+    * score first (id ascending tiebreak for determinism) — the data-mixing
+    * cap that stops one domain/source from dominating a training mix.
+    * One shuffle on the group key; Catalyst's InferWindowGroupLimit turns
+    * the rank+filter form into a map-side partial top-k below the
+    * exchange (volume-proven for the identical kNN window in round 4), so
+    * a skewed group never ships more than `quota` rows per map partition.
+    */
+  def quotaSample(docs: DataFrame, keyCol: String, idCol: String,
+                  scoreCol: String, quota: Int): DataFrame =
+    docs.withColumn("rk",
+        row_number().over(Window.partitionBy(col(keyCol))
+          .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
+      .filter(col("rk") <= quota)
+}

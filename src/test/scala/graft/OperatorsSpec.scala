@@ -643,6 +643,45 @@ class OperatorsSpec extends AnyFunSuite {
     cl.unpersist()
   }
 
+  test("contamination: benchmark docs are fully self-contaminated, clean docs hit 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy of the benchmark doc
+      (3L, "one two three four five six seven"),   // disjoint
+      (4L, "x y alpha beta gamma z w")             // shares exactly one 3-shingle
+    ).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 1L)
+    val out = Curation.contamination(docs, "doc_id", "text", bench, "text", minHits = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L)._1 == out(1L)._2 && out(1L)._3)     // benchmark ⊆ itself
+    assert(out(2L) == out(1L))                          // exact copy: same counts
+    assert(out(3L)._2 == 0L && !out(3L)._3)             // disjoint: zero hits
+    assert(out(4L)._2 == 1L && !out(4L)._3)             // one shared shingle < minHits
+    // the broadcast must be in the executed plan (never a shuffle join
+    // against the benchmark side)
+    val plan = Curation.contamination(docs, "doc_id", "text", bench, "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+
+  test("quotaSample: per-key cap, deterministic ordering, skewed key bounded") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => (i, if (i < 470) "big" else s"s${i % 5}", i * 7 % 101))
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    val out = Curation.quotaSample(df, "source", "doc_id", "n_chars", quota = 5)
+    val perKey = out.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perKey.values.forall(_ <= 5) && perKey("big") == 5)
+    // determinism: same input, same keepers
+    val a = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.quotaSample(df, "source", "doc_id", "n_chars", quota = 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    // the window form must carry the map-side partial group limit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
   test("multi-zoom tile rollup emits all requested zooms") {
     val docs = graft.sources.DocsTable.docs(spark, dir)
     val polys = graft.sources.DocsTable.extractGeometries(docs)
