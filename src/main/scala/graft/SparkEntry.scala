@@ -703,6 +703,32 @@ object SparkEntry {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.operators.Curation.quotaSample(docs, "source", "doc_id", "n_chars", quota = 5)
         .select(col("doc_id"), col("source"), col("n_chars"), col("rk"))
+    }),
+
+    "q52_wkb_bytes" -> ((s, dir) => {
+      // the geom column IS the Wkb wire format (LE, reference encoding/wkb
+      // layout), so hashing the raw column bytes gates the WKB encoder
+      // byte-for-byte: a point and its CW box polygon per pid, with
+      // quarter-valued coordinates whose IEEE-754 bits the oracle derives
+      // exactly ((1020+k)<<52 + n<<(52-k) for n/4, the q45 technique)
+      import s.implicits._
+      val hp = 1000000000000007L
+      Synth.points(s, dir).select(col("pid")).filter(col("pid") % 7 === 0)
+        .withColumn("x", (col("pid") + 1).cast("double") / 4.0)
+        .withColumn("y", (col("pid") + 2).cast("double") / 4.0)
+        .withColumn("pt", st_point(col("x"), col("y")))
+        .withColumn("box", st_box_polygon(col("x"), col("y"),
+          col("x") + 1.5, col("y") + 2.25))
+        .select(col("pid"), col("pt"), col("box"))
+        .map { r =>
+          def h(b: Array[Byte]): Long = {
+            var acc = 0L; var i = 0
+            while (i < b.length) { acc = (acc * 31 + (b(i) & 0xFF)) % hp; i += 1 }
+            acc
+          }
+          val pt = r.getAs[Array[Byte]]("pt"); val bx = r.getAs[Array[Byte]]("box")
+          (r.getLong(0), pt.length.toLong, h(pt), bx.length.toLong, h(bx))
+        }.toDF("pid", "n_pt", "pt_hash", "n_box", "box_hash")
     })
   )
 
@@ -1142,6 +1168,30 @@ object SparkEntry {
       ("SELECT doc_id, source, n_chars, rk FROM (SELECT doc_id, source, n_chars, "
       + "CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rk "
       + "FROM documents) WHERE rk <= 5"),
+
+    // WKB wire bytes rebuilt in SQL: LE marker+type words as literal byte
+    // lists, quarter-valued doubles as exact IEEE-754 bit arithmetic
+    "q52_wkb_bytes" -> {
+      def dbits(n: String) =
+        (s"(((1020 + CAST(floor(log2(CAST($n AS DOUBLE))) AS BIGINT)) << 52) + "
+        + s"(CAST($n AS BIGINT) << (52 - CAST(floor(log2(CAST($n AS DOUBLE))) AS INTEGER))))")
+      def dbl(n: String) =
+        s"list_transform(range(0, 8), j -> (${dbits(n)} >> (8 * CAST(j AS INTEGER))) & 255)"
+      def hash(bytes: String) =
+        (s"CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($bytes, "
+        + "c -> CAST(c AS BIGINT))), (acc, c) -> ((acc * 31) + c) % 1000000000000007) AS BIGINT)")
+      (s"WITH $P, b AS (SELECT pid, pid + 1 AS nx, pid + 2 AS ny, pid + 7 AS nxx, pid + 11 AS nyy "
+      + "FROM pts WHERE pid % 7 = 0), "
+      // pt: marker 1, type 1, x=(pid+1)/4, y=(pid+2)/4
+      + s"w AS (SELECT pid, ([1, 1, 0, 0, 0] || ${dbl("nx")} || ${dbl("ny")}) AS ptb, "
+      // box polygon: type 3, 1 ring, 5 pts CW (minx,miny)(maxx,miny)
+      // (maxx,maxy)(minx,maxy)(close); maxx=x+1.5=(pid+7)/4, maxy=y+2.25=(pid+11)/4
+      + s"([1, 3, 0, 0, 0, 1, 0, 0, 0, 5, 0, 0, 0] || ${dbl("nx")} || ${dbl("ny")} || "
+      + s"${dbl("nxx")} || ${dbl("ny")} || ${dbl("nxx")} || ${dbl("nyy")} || "
+      + s"${dbl("nx")} || ${dbl("nyy")} || ${dbl("nx")} || ${dbl("ny")}) AS boxb FROM b) "
+      + s"SELECT pid, CAST(len(ptb) AS BIGINT) AS n_pt, ${hash("ptb")} AS pt_hash, "
+      + s"CAST(len(boxb) AS BIGINT) AS n_box, ${hash("boxb")} AS box_hash FROM w")
+    },
     // exact n-gram Jaccard: q44's band machinery as the recall stage (any
     // shared band, first-shared-band dedupe, NO estimate threshold), then
     // exact shingle-set Jaccard — distinct intersection over distinct union
