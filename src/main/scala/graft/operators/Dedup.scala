@@ -294,6 +294,7 @@ object Dedup {
 
     var round = 0
     var done = false
+    var prevCount = -1L
     while (!done && round < maxRounds) {
       // large-star: symmetrize; connect every strictly-larger neighbor of
       // u to m = min(Γ(u) ∪ {u})
@@ -312,8 +313,11 @@ object Dedup {
         .union(mins.select(col("u").as("a"), col("m").as("b")))
         .filter(col("a") =!= col("b")).distinct()
         .localCheckpoint(true)
-      val changed = ss.exceptAll(edges).limit(1).count() + edges.exceptAll(ss).limit(1).count()
-      done = changed == 0
+      // both sides are distinct sets, so |new| = |old| plus new\old = ∅
+      // proves equality — one anti-join per round, not two
+      val count = ss.count()
+      done = count == prevCount && ss.exceptAll(edges).limit(1).count() == 0
+      prevCount = count
       edges = ss
       round += 1
     }
