@@ -347,6 +347,10 @@ object GeoJson {
     val id = fieldCI(n, "id").filterNot(_.isNull).map { v =>
       if (!v.isIntegralNumber)
         throw new GeoJsonException(s"feature id must be an integer, got $v")
+      // Jackson asLong silently WRAPS integral values outside int64 (Go
+      // errors past uint64; our Long narrows at int64 — error, never wrap)
+      if (!v.canConvertToLong)
+        throw new GeoJsonException(s"feature id out of int64 range: $v")
       v.asLong
     }
     val props = fieldCI(n, "properties").filterNot(_.isNull).map { p =>

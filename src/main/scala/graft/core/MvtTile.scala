@@ -209,6 +209,10 @@ object MvtTile {
     def varint(): Long = {
       var shift = 0; var v = 0L; var b = 0
       do {
+        // a valid proto varint is at most 10 bytes; past shift 63 the JVM
+        // masks the shift amount and ORs bits into WRONG positions, so a
+        // run of continuation bytes must fail, not wrap
+        if (shift > 63) sys.error(s"varint overruns 10 bytes at $i")
         need(1)
         b = bytes(i) & 0xFF; i += 1
         v |= (b & 0x7FL) << shift; shift += 7
@@ -216,7 +220,11 @@ object MvtTile {
       v
     }
     def lengthDelim(): (Int, Int) = { // (start, end)
-      val len = varint().toInt
+      val len64 = varint()
+      // toInt on a >=2^32 length would alias to a small positive value
+      // that passes need(); reject before narrowing
+      if (len64 < 0 || len64 > Int.MaxValue) sys.error(s"bad length $len64 at $i")
+      val len = len64.toInt
       if (len < 0) sys.error(s"negative length $len at $i")
       need(len)
       val s = i

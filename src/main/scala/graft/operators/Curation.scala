@@ -31,17 +31,18 @@ object Curation {
     val bsh = bench
       .select(explode(array_distinct(shingle_hashes(col(benchTextCol)))).as("sh"))
       .distinct()
-    val withSh = docs.select(col(idCol).as("doc"),
-      array_distinct(shingle_hashes(col(textCol))).as("shs"))
-    val hits = withSh
-      .select(col("doc"), explode(col("shs")).as("sh"))
-      .join(broadcast(bsh), "sh")
-      .groupBy("doc").agg(count(lit(1)).as("hits"))
-    withSh.select(col("doc"), size(col("shs")).cast("long").as("n_sh"))
-      .join(hits, Seq("doc"), "left")
-      .select(col("doc"), col("n_sh"),
-        coalesce(col("hits"), lit(0L)).as("hits"),
-        (coalesce(col("hits"), lit(0L)) >= minHits).as("contaminated"))
+      .withColumn("hit", lit(1))
+    // ONE corpus pass: shingle+explode once, mark matches via the
+    // broadcast left join, and count rows vs marked rows in the same
+    // per-doc aggregate (count(col) skips nulls) — never two scans of the
+    // corpus text joined back on doc
+    docs.select(col(idCol).as("doc"),
+        explode(array_distinct(shingle_hashes(col(textCol)))).as("sh"))
+      .join(broadcast(bsh), Seq("sh"), "left")
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("hits"))
+      .select(col("doc"), col("n_sh"), col("hits"),
+        (col("hits") >= minHits).as("contaminated"))
   }
 
   /** Per-key quota sampling: keep at most `quota` rows per group, best

@@ -129,8 +129,19 @@ object Dedup {
     * grows with the DISTINCT docs per bucket (the same contract as
     * `exactStreaming` without a watermark); `maxBucket` hard-caps a
     * pathological bucket (identical boilerplate repeated forever) by
-    * dropping new entries and COUNTING the drops in state rather than
-    * silently degrading — callers can monitor via the capped pair flow.
+    * dropping new entries and COUNTING the drops in state.
+    *
+    * Cap-loss contract (read before lowering maxBucket): a doc dropped
+    * from a capped bucket loses its pairs AT that band, and — because the
+    * first-shared-band dedupe is computed from SIGNATURES, not residency —
+    * a pair whose first shared band is the capped one is also suppressed
+    * at later shared bands where both docs ARE resident. Every such loss
+    * traces to a counted drop in the capping bucket (nothing degrades
+    * without incrementing `dropped`), but the count is a lower bound on
+    * lost pairs, not an exact tally. At the default cap this needs a
+    * bucket with 4096+ distinct near-identical docs — i.e. the exact
+    * boilerplate flood the cap exists to survive. Set
+    * `maxBucket = Int.MaxValue` for loss-free (unbounded-state) matching.
     */
   def nearDupPairsStreaming(docs: DataFrame, idCol: String, textCol: String,
                             bands: Int = 4, rowsPerBand: Int = 4,

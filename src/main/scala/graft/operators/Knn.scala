@@ -391,6 +391,12 @@ object Knn {
     val (dense, maxCnt) = denseCellsOf(points, z, denseFactor.toLong * 15L, MaxDenseCells)
     if (dense.isEmpty) return knnJoinExpanding(queries, points, k, z)
     val zDeep = deepZoomFor(z, maxCnt)
+    if (zDeep <= z) {
+      // base zoom already at (or beyond) the packed-key clamp: a "deeper"
+      // level would be the SAME or a coarser grid — deepening would
+      // pessimize, not help, so take the plain exact path
+      return knnJoinExpanding(queries, points, k, z)
+    }
     if (dense.length > MaxDenseCells) {
       // everything is dense: z itself was wrong for this corpus — deepen
       // globally instead of building an unbounded cell set

@@ -96,20 +96,43 @@ object TileStream {
 
   /** one epoch's tiles → one object per tile, written from the tasks.
     * Also the crash-replay surface the spec drives directly.
+    *
+    * Durability: each tile is written to a task-attempt-unique temp path
+    * and RENAMED into its final key, so a task that dies mid-write leaves
+    * only temp garbage (swept on the next attempt's epoch replay), never a
+    * truncated tile at a final key — and two racing attempts (speculation,
+    * zombie retry) each own a distinct temp file instead of fighting over
+    * one HDFS lease; last rename wins with identical bytes. The epoch is
+    * readable iff its `_EPOCH_COMMIT` marker exists, written by the
+    * driver only after every task finished.
     */
   def writeEpoch(tiles: DataFrame, outDir: String, epoch: Long): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       tiles.sparkSession.sessionState.newHadoopConf())
+    val epochDir = s"$outDir/epoch=$epoch"
     tiles.select("z", "x", "y", "mvt").foreachPartition {
       (rows: Iterator[org.apache.spark.sql.Row]) =>
         var fs: org.apache.hadoop.fs.FileSystem = null
+        val attempt = java.util.UUID.randomUUID().toString
         rows.foreach { r =>
-          val p = new org.apache.hadoop.fs.Path(
-            s"$outDir/epoch=$epoch/${r.getInt(0)}/${r.getLong(1)}/${r.getLong(2)}.mvt")
-          if (fs == null) fs = p.getFileSystem(conf.value)
-          val out = fs.create(p, /*overwrite=*/ true)
+          val fin = new org.apache.hadoop.fs.Path(
+            s"$epochDir/${r.getInt(0)}/${r.getLong(1)}/${r.getLong(2)}.mvt")
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$epochDir/_tmp/$attempt-${r.getInt(0)}-${r.getLong(1)}-${r.getLong(2)}")
+          if (fs == null) fs = fin.getFileSystem(conf.value)
+          val out = fs.create(tmp, /*overwrite=*/ true)
           try out.write(r.getAs[Array[Byte]]("mvt")) finally out.close()
+          fs.mkdirs(fin.getParent)
+          fs.delete(fin, false) // rename is no-overwrite on some stores
+          if (!fs.rename(tmp, fin))
+            sys.error(s"rename $tmp -> $fin failed")
         }
     }
+    // all tasks done: sweep temp debris and commit the epoch atomically
+    val fs = new org.apache.hadoop.fs.Path(epochDir)
+      .getFileSystem(tiles.sparkSession.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$epochDir/_tmp"), true)
+    val m = fs.create(new org.apache.hadoop.fs.Path(s"$epochDir/_EPOCH_COMMIT"), true)
+    m.close()
   }
 }

@@ -306,8 +306,9 @@ class OperatorsSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     // three identical docs through a cap-1 bucket: doc 1 holds every
-    // bucket, docs 2 and 3 each pair with it, the 2-3 pair is dropped —
-    // bounded state, missing pairs accounted by design (not silent)
+    // bucket, docs 2 and 3 each pair with it, the 2-3 pair is lost —
+    // the documented cap-loss class (suppression traces to counted drops
+    // in the capping bucket; see nearDupPairsStreaming's contract)
     val input = MemoryStream[(Long, String)]
     val sdf = input.toDF().toDF("doc_id", "text")
     val q = Dedup.nearDupPairsStreaming(sdf, "doc_id", "text", maxBucket = 1)
