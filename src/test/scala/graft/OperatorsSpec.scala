@@ -157,6 +157,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ug.exceptAll(uw).count() == 0 && uw.exceptAll(ug).count() == 0)
   }
 
+  test("adaptive deepening at the zoom clamp falls back to the plain exact path") {
+    import spark.implicits._
+    // z = 16 is the packed-key clamp: deepZoomFor cannot go deeper, so
+    // "deepening" would rebuild the SAME grid — the adaptive path must
+    // take the plain chain instead (round-5 review) and stay exact
+    assert(Knn.deepZoomFor(16, 1000000L) == 16)
+    val hot = (0L until 3000L).map { i =>
+      (i, 10.0001 + (i % 31) * 1e-6, 10.0001 + (i % 37) * 1e-6)
+    }
+    val pts = hot.toDF("pid", "lon", "lat").repartition(4)
+    val qs = pts.filter(col("pid") % 101 === 0)
+      .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val got = Knn.knnJoinAdaptive(qs, pts, k = 3, z = 16)
+    val want = bruteKnn(qs, pts, 3)
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "clamped adaptive kNN diverges from brute force")
+  }
+
   test("LSH ANN recall against brute-force cosine top-k") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
@@ -712,6 +730,11 @@ class OperatorsSpec extends AnyFunSuite {
     val plan = Curation.contamination(docs, "doc_id", "text", bench, "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+    // ONE corpus pass (round-5 review): the shingle expression appears
+    // exactly twice in the plan — once over the corpus, once over the
+    // broadcast benchmark side — never a second corpus scan joined back
+    val shingleCount = "stshinglehashes".r.findAllIn(plan.toLowerCase).size
+    assert(shingleCount == 2, s"expected 2 shingle computations, plan has $shingleCount")
   }
 
   test("quotaSample: per-key cap, deterministic ordering, skewed key bounded") {

@@ -139,6 +139,14 @@ class TileStreamSpec extends AnyFunSuite {
     assert(first.nonEmpty, "epoch writer produced no tile files")
     assert(first.keySet.forall(_.startsWith("epoch=0/9/")),
       s"unexpected keys: ${first.keySet.take(3)}")
+    // durability surface (round-5 review): the epoch is committed by its
+    // marker, and the temp-write area is swept — no debris a reader could
+    // mistake for a tile, no truncated bytes at final keys
+    val epochRoot = java.nio.file.Paths.get(outDir, "epoch=0")
+    assert(java.nio.file.Files.exists(epochRoot.resolve("_EPOCH_COMMIT")),
+      "epoch commit marker missing")
+    assert(!java.nio.file.Files.exists(epochRoot.resolve("_tmp")),
+      "temp write area not swept after commit")
     // crash-replay: the SAME epoch re-executes (foreachBatch re-delivery
     // after an uncommitted failure) — identical bytes, identical keys,
     // no duplicate or phantom tiles

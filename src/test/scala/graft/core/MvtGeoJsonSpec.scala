@@ -342,4 +342,30 @@ class MvtGeoJsonSpec extends AnyFunSuite {
       assert(!vs.exists(d => d != 2.5), s"mis-decoded double from stolen bytes: $vs")
     }
   }
+
+  test("runaway varints and 64-bit lengths fail cleanly (round-5 review)") {
+    // 12 continuation bytes: a valid proto varint is at most 10 bytes, so
+    // the tag read must error instead of masking the shift amount and
+    // ORing bits into wrong positions
+    intercept[Exception](MvtTile.decodeTile(Array.fill[Byte](12)(0xFF.toByte)))
+    // a layer field declaring length 2^32: .toInt would alias it to 0 and
+    // silently decode an empty message — must error before narrowing
+    val big = Array[Byte](0x1A, 0x80.toByte, 0x80.toByte, 0x80.toByte,
+      0x80.toByte, 0x10)
+    intercept[Exception](MvtTile.decodeTile(big))
+    // Long.MaxValue-adjacent length (sign bit games): also a clean error
+    val neg = Array[Byte](0x1A) ++ Array.fill[Byte](9)(0xFF.toByte) :+ 0x01.toByte
+    intercept[Exception](MvtTile.decodeTile(neg))
+  }
+
+  test("feature ids outside int64 error instead of wrapping (round-5 review)") {
+    // 2^64-1 is a legal Go uint64 id but exceeds our Long: Jackson asLong
+    // would silently wrap it negative — must be a GeoJsonException
+    intercept[GeoJson.GeoJsonException](GeoJson.decodeFeatureOrCollection(
+      """{"type":"Feature","geometry":null,"id":18446744073709551615,"properties":null}"""))
+    // Long.MaxValue itself still decodes
+    val f = GeoJson.decodeFeatureOrCollection(
+      """{"type":"Feature","geometry":null,"id":9223372036854775807,"properties":null}""")
+    assert(f.left.toOption.flatMap(_.id).contains(Long.MaxValue))
+  }
 }
