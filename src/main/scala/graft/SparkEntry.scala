@@ -729,6 +729,19 @@ object SparkEntry {
           val pt = r.getAs[Array[Byte]]("pt"); val bx = r.getAs[Array[Byte]]("box")
           (r.getLong(0), pt.length.toLong, h(pt), bx.length.toLong, h(bx))
         }.toDF("pid", "n_pt", "pt_hash", "n_box", "box_hash")
+    }),
+
+    "q53_pip_join_bigbig" -> ((s, dir) => {
+      // q03's semantics through the NO-BROADCAST plan (SpatialJoin
+      // .pipJoin): both sides keyed by cell, one shuffle join, exact
+      // st_contains filter — the path for a polygon side too large to
+      // broadcast. Same oracle as q03; the gate pins that the shuffle
+      // plan is result-identical to the broadcast plan.
+      val pts = Synth.points(s, dir)
+      val regions = Synth.regions(s, dir)
+        .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      graft.operators.SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly", z = 5)
+        .select(col("pid"), col("region_id"))
     })
   )
 
@@ -1426,6 +1439,12 @@ object SparkEntry {
       "avg((doc_id * 7 + x * 13 + y * 17) % 256) AS mean_r, " +
       "avg((doc_id * 11 + x * 3 + y * 29) % 256) AS mean_g, " +
       "avg((doc_id * 5 + x * 23 + y * 7) % 256) AS mean_b " +
-      "FROM px GROUP BY 1, 2, 3")
+      "FROM px GROUP BY 1, 2, 3"),
+
+    // q03's oracle verbatim: the big-big shuffle plan must be
+    // result-identical to the broadcast plan (box polygons make PIP an
+    // exact bbox test in SQL)
+    "q53_pip_join_bigbig" ->
+      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy"
   )
 }

@@ -175,6 +175,45 @@ class OperatorsSpec extends AnyFunSuite {
       "clamped adaptive kNN diverges from brute force")
   }
 
+  test("big-big PIP join: no broadcast in the plan, results identical to the broadcast form") {
+    import graft.functions.GeomFunctions._
+    val pts = graft.sources.Synth.points(spark, dir)
+    val regions = graft.sources.Synth.regions(spark, dir)
+      .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+    // emulate the target regime — a polygon side too large to broadcast —
+    // by disabling the broadcast thresholds (at test scale Catalyst would
+    // otherwise rightly broadcast the tiny regions table)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val got = SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly", z = 5)
+        .select(col("pid"), col("region_id"))
+      // the broadcast form (q03's plan) is the correctness reference
+      val regB = regions.withColumn("cell5", explode(
+        st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"), lit(5))))
+      val want = pts.withColumn("cell5", st_cell_at(col("lon"), col("lat"), lit(5)))
+        .join(broadcast(regB), Seq("cell5"), "inner")
+        .filter(st_contains(col("poly"), col("lon"), col("lat")))
+        .select(col("pid"), col("region_id"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+        "shuffle PIP join diverges from the broadcast form")
+      // and it must actually BE the shuffle plan in this regime
+      got.count()
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"big-big path fell back to a broadcast join:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffle join on the cell key:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+    // derived-zoom entry point also runs (bounded footer sampling)
+    assert(SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly").limit(1).count() >= 0)
+  }
+
   test("LSH ANN recall against brute-force cosine top-k") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
