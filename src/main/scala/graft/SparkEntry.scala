@@ -742,6 +742,41 @@ object SparkEntry {
         .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
       graft.operators.SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly", z = 5)
         .select(col("pid"), col("region_id"))
+    }),
+
+    "q54_distance_join" -> ((s, dir) => {
+      // within-distance join, no broadcast: left disc-bbox cell cover ×
+      // right single cell, one shuffle, exact planar degree metric.
+      // (pid % 4: TPC-H-derived pids are sparse — % 20 matches nothing;
+      // radius 1.0: the synthetic lattice's min point spacing is ~0.6°)
+      val pts = Synth.points(s, dir)
+      val l = pts.filter(col("pid") % 4 === 0)
+        .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+      val r = pts.select(col("pid").as("nid"), col("lon"), col("lat"))
+      graft.operators.SpatialJoin.distanceJoin(l, "qlon", "qlat", r, "lon", "lat",
+          radius = 1.0)
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
+    }),
+
+    "q55_extent_join" -> ((s, dir) => {
+      // bbox-overlap join with the reporting-cell dedupe (one shuffle,
+      // NO distinct exchange): each overlapping pair is emitted only in
+      // the cell of its intersection rectangle's NW corner. Left side:
+      // 2°×2° boxes grown from a point subset; right side: the region
+      // bboxes (regions never overlap EACH OTHER, so a self-join is
+      // vacuous — this cross-table form has real matches)
+      val pts = Synth.points(s, dir).filter(col("pid") % 16 === 0)
+      val a = pts.select(col("pid"),
+        col("lon").as("aminx"), col("lat").as("aminy"),
+        (col("lon") + 2.0).as("amaxx"), (col("lat") + 2.0).as("amaxy"))
+      val b = Synth.regions(s, dir).select(col("region_id"),
+        col("minx").as("bminx"), col("miny").as("bminy"),
+        col("maxx").as("bmaxx"), col("maxy").as("bmaxy"))
+      graft.operators.SpatialJoin.extentJoin(
+          a, "aminx", "aminy", "amaxx", "amaxy",
+          b, "bminx", "bminy", "bmaxx", "bmaxy", z = 6)
+        .select(col("pid"), col("region_id"))
     })
   )
 
@@ -1445,6 +1480,23 @@ object SparkEntry {
     // result-identical to the broadcast plan (box polygons make PIP an
     // exact bbox test in SQL)
     "q53_pip_join_bigbig" ->
-      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy"
+      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy",
+
+    // planar degree metric, squared compare (no sqrt on either side);
+    // the BETWEEN prefilter lets DuckDB run its inequality join instead
+    // of a blind cross product
+    "q54_distance_join" ->
+      (s"WITH $P SELECT a.pid AS qid, b.pid AS nid FROM pts a, pts b " +
+      "WHERE a.pid % 4 = 0 AND a.pid <> b.pid " +
+      "AND b.lon BETWEEN a.lon - 1.0 AND a.lon + 1.0 " +
+      "AND b.lat BETWEEN a.lat - 1.0 AND a.lat + 1.0 " +
+      "AND ((a.lon - b.lon) * (a.lon - b.lon) + (a.lat - b.lat) * (a.lat - b.lat)) <= 1.0"),
+
+    // closed-interval bbox overlap: 2°×2° point boxes × region bboxes
+    "q55_extent_join" ->
+      (s"WITH $P, $R SELECT a.pid, r.region_id FROM pts a, regions r " +
+      "WHERE a.pid % 16 = 0 " +
+      "AND a.lon <= r.maxx AND r.minx <= a.lon + 2.0 " +
+      "AND a.lat <= r.maxy AND r.miny <= a.lat + 2.0")
   )
 }

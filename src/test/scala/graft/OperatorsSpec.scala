@@ -214,6 +214,73 @@ class OperatorsSpec extends AnyFunSuite {
     assert(SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly").limit(1).count() >= 0)
   }
 
+  test("distance join: exact pairs vs naive cross, pair-unique, disc-cover replication") {
+    import spark.implicits._
+    // dropDuplicates: Synth.points repeats pids (6000 rows / 4599 ids),
+    // and the pair-uniqueness property is per input ROW — duplicate ids
+    // would make (qid, nid) legitimately appear once per underlying pair
+    val pts = graft.sources.Synth.points(spark, dir)
+      .select(col("pid"), col("lon"), col("lat")).dropDuplicates("pid")
+    val l = pts.filter(col("pid") % 11 === 0)
+      .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+    val r = pts.select(col("pid").as("nid"), col("lon"), col("lat"))
+    val got = SpatialJoin.distanceJoin(l, "qlon", "qlat", r, "lon", "lat", radius = 0.7)
+      .select(col("qid"), col("nid"))
+    val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+    val want = l.crossJoin(r).filter(d2 <= 0.49).select(col("qid"), col("nid"))
+    assert(got.count() > 0, "vacuous test: no pairs within radius")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "distance join diverges from the naive cross join")
+    // pair-unique WITHOUT a distinct: right owns one cell, left cover
+    // lists each cell once
+    assert(got.count() == got.distinct().count(), "duplicate pairs emitted")
+    // radius zero degenerates to exact-coordinate matches only
+    val z0 = SpatialJoin.distanceJoin(l, "qlon", "qlat", r, "lon", "lat", radius = 0.0)
+    assert(z0.filter(col("dist2") > 0).count() == 0)
+  }
+
+  test("extent join: closed-interval overlap, reporting-cell dedupe, edge cases") {
+    import spark.implicits._
+    // left: 2°×2° boxes grown from points; right: region bboxes (regions
+    // are mutually disjoint, so a regions self-join would be vacuous)
+    val a = graft.sources.Synth.points(spark, dir).filter(col("pid") % 16 === 0)
+      .dropDuplicates("pid") // repeated pids would masquerade as join dups
+      .select(col("pid").as("ra"),
+        col("lon").as("aminx"), col("lat").as("aminy"),
+        (col("lon") + 2.0).as("amaxx"), (col("lat") + 2.0).as("amaxy"))
+    val b = graft.sources.Synth.regions(spark, dir)
+      .select(col("region_id").as("rb"),
+        col("minx").as("bminx"), col("miny").as("bminy"),
+        col("maxx").as("bmaxx"), col("maxy").as("bmaxy"))
+    val got = SpatialJoin.extentJoin(a, "aminx", "aminy", "amaxx", "amaxy",
+        b, "bminx", "bminy", "bmaxx", "bmaxy", z = 6)
+      .select(col("ra"), col("rb"))
+    val want = a.crossJoin(b).filter(
+        col("aminx") <= col("bmaxx") && col("bminx") <= col("amaxx") &&
+        col("aminy") <= col("bmaxy") && col("bminy") <= col("amaxy"))
+      .select(col("ra"), col("rb"))
+    assert(got.count() > 0, "vacuous test: no overlapping boxes")
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0,
+      "extent join diverges from the naive overlap")
+    // the reporting-cell filter IS the dedupe: no distinct in the plan,
+    // no duplicate pairs in the output
+    assert(got.count() == got.distinct().count(), "duplicate pairs emitted")
+    assert(!got.queryExecution.executedPlan.toString.contains("Deduplicate"),
+      "extent join should not need a distinct exchange")
+    // edge-touching boxes overlap under closed intervals; disjoint boxes
+    // sharing a cell do not pair
+    val ta = Seq((1L, 0.0, 0.0, 1.0, 1.0), (2L, 5.0, 5.0, 5.1, 5.1))
+      .toDF("ra", "aminx", "aminy", "amaxx", "amaxy")
+    val tb = Seq((10L, 1.0, 0.0, 2.0, 1.0), (20L, 5.2, 5.2, 5.3, 5.3))
+      .toDF("rb", "bminx", "bminy", "bmaxx", "bmaxy")
+    val t = SpatialJoin.extentJoin(ta, "aminx", "aminy", "amaxx", "amaxy",
+        tb, "bminx", "bminy", "bmaxx", "bmaxy", z = 4)
+      .select(col("ra"), col("rb")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t == Set((1L, 10L)),
+      s"edge-touch must pair once, same-cell-disjoint must not: $t")
+  }
+
   test("LSH ANN recall against brute-force cosine top-k") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("vid"), col("embedding").cast("array<double>").as("vec"))
