@@ -777,6 +777,13 @@ object SparkEntry {
           a, "aminx", "aminy", "amaxx", "amaxy",
           b, "bminx", "bminy", "bmaxx", "bmaxy", z = 6)
         .select(col("pid"), col("region_id"))
+    }),
+
+    "q56_tfidf_terms" -> ((s, dir) => {
+      // top-5 characteristic terms per document; rational idf
+      // (N+1)/(df+1) so the score column is bit-reproducible in DuckDB
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.tfidfTopTerms(docs, "doc_id", "text", k = 5)
     })
   )
 
@@ -1497,6 +1504,19 @@ object SparkEntry {
       (s"WITH $P, $R SELECT a.pid, r.region_id FROM pts a, regions r " +
       "WHERE a.pid % 16 = 0 " +
       "AND a.lon <= r.maxx AND r.minx <= a.lon + 2.0 " +
-      "AND a.lat <= r.maxy AND r.miny <= a.lat + 2.0")
+      "AND a.lat <= r.maxy AND r.miny <= a.lat + 2.0"),
+
+    // rational-idf tf-idf: integer counts + one correctly-rounded double
+    // multiply/divide each, so `score` matches Spark bit-for-bit
+    "q56_tfidf_terms" ->
+      ("WITH w AS (SELECT doc_id AS doc, unnest(list_filter(" +
+      "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word FROM documents), " +
+      "tf AS (SELECT doc, word, count(*) AS tf FROM w GROUP BY 1, 2), " +
+      "df AS (SELECT word, count(*) AS df FROM tf GROUP BY 1), " +
+      "n AS (SELECT count(*) AS n FROM documents), " +
+      "s AS (SELECT tf.doc, tf.word, tf.tf, df.df, " +
+      "(tf.tf * (n.n + 1.0)) / (df.df + 1.0) AS score FROM tf, df, n WHERE tf.word = df.word), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, word) AS rk FROM s) " +
+      "SELECT doc, word, tf, df, score, rk FROM r WHERE rk <= 5")
   )
 }

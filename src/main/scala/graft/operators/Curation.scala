@@ -59,4 +59,42 @@ object Curation {
         row_number().over(Window.partitionBy(col(keyCol))
           .orderBy(col(scoreCol).desc, col(idCol).asc)).cast("long"))
       .filter(col("rk") <= quota)
+
+  /** TF-IDF top-`k` characteristic terms per document — the corpus
+    * feature-extraction staple (keyword summaries, topic balancing,
+    * boilerplate discovery: a term with huge df is boilerplate, a doc
+    * whose top terms all score low is generic).
+    *
+    * Scoring uses the rational idf form `tf · (N+1)/(df+1)` instead of
+    * the log form: same ranking (log is monotone), but every step —
+    * integer counts, one double multiply, one double divide — is
+    * correctly-rounded IEEE-754 and therefore bit-reproducible across
+    * engines (the DuckDB oracle matches the score column exactly; `ln`
+    * implementations differ in ULPs across libms and would break the
+    * hash gate and cross-run determinism).
+    *
+    * Shuffle shape at corpus scale: (1) groupBy(doc, word) with map-side
+    * combine — the only pass over raw text; (2) groupBy(word) over the
+    * already-distinct (doc, word) set for df (a plain count — no
+    * count(DISTINCT) shuffle); (3) the tf⋈df equi-join on word; (4) the
+    * per-doc window in rank+filter form, so InferWindowGroupLimit keeps
+    * a map-side partial top-k below the doc exchange. Tokenization is
+    * built-in `split`/`filter` (codegen'd, TextKernels.tokens parity).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val nDocs = docs.count()
+    val words = docs.select(col(idCol).as("doc"),
+      explode(filter(split(lower(col(textCol)), "\\s+"),
+        w => w =!= lit(""))).as("word"))
+    val tf = words.groupBy("doc", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    tf.join(df, "word")
+      .withColumn("score", col("tf") * lit(nDocs + 1.0) / (col("df") + lit(1.0)))
+      .withColumn("rk",
+        row_number().over(Window.partitionBy(col("doc"))
+          .orderBy(col("score").desc, col("word").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc"), col("word"), col("tf"), col("df"), col("score"), col("rk"))
+  }
 }

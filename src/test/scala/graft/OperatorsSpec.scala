@@ -860,6 +860,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("tfidf top terms: hand-checked scores, rank determinism, partial top-k plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry cherry durian"),
+      (3L, "apple apple apple apple")
+    ).toDF("doc_id", "text")
+    val out = Curation.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+    val rows = out.collect().map(r => ((r.getLong(0), r.getString(1)),
+      (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    // N=3; idf factor (N+1)/(df+1): apple df=2, banana df=2, cherry df=2,
+    // durian df=1
+    assert(rows((1L, "apple")) == ((2L, 2L, 2.0 * 4.0 / 3.0, 1L)))
+    assert(rows((1L, "banana")) == ((1L, 2L, 4.0 / 3.0, 2L))) // word tiebreak over cherry
+    assert(rows((2L, "durian")) == ((1L, 1L, 2.0, 2L)))
+    assert(rows((2L, "cherry")) == ((2L, 2L, 2.0 * 4.0 / 3.0, 1L)))
+    assert(rows((3L, "apple")) == ((4L, 2L, 4.0 * 4.0 / 3.0, 1L)))
+    assert(rows.size == 5) // doc 3 has a single distinct term
+    // per-doc cap holds and the window runs in rank+filter form with the
+    // map-side partial group limit
+    assert(out.groupBy("doc").count().collect().forall(_.getLong(1) <= 2))
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("multi-zoom tile rollup emits all requested zooms") {
     val docs = graft.sources.DocsTable.docs(spark, dir)
     val polys = graft.sources.DocsTable.extractGeometries(docs)
