@@ -784,6 +784,28 @@ object SparkEntry {
       // (N+1)/(df+1) so the score column is bit-reproducible in DuckDB
       val docs = s.read.parquet(s"$dir/documents.parquet")
       graft.operators.Curation.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+    }),
+
+    "q57_quantiles" -> ((s, dir) => {
+      // exact percentile_disc per source over doc length — one shuffle,
+      // shared rank/count windows, map-side quantile fan-out
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.exactQuantiles(docs, "source", "n_chars", "doc_id",
+        Seq(0.25, 0.5, 0.75, 0.95))
+    }),
+
+    "q58_hash_sample" -> ((s, dir) => {
+      // deterministic MINSTD id-hash sample: same ids kept in every run,
+      // engine, and partition layout
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.hashSample(docs, "doc_id", fraction = 0.25)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }),
+
+    "q59_quantize_int8" -> ((s, dir) => {
+      // symmetric per-vector int8 quantization of the embedding column
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Ann.quantizeInt8(emb, "vec_id", "embedding")
     })
   )
 
@@ -1517,6 +1539,29 @@ object SparkEntry {
       "s AS (SELECT tf.doc, tf.word, tf.tf, df.df, " +
       "(tf.tf * (n.n + 1.0)) / (df.df + 1.0) AS score FROM tf, df, n WHERE tf.word = df.word), " +
       "r AS (SELECT *, row_number() OVER (PARTITION BY doc ORDER BY score DESC, word) AS rk FROM s) " +
-      "SELECT doc, word, tf, df, score, rk FROM r WHERE rk <= 5")
+      "SELECT doc, word, tf, df, score, rk FROM r WHERE rk <= 5"),
+
+    // percentile_disc semantics spelled out as rank arithmetic so both
+    // engines run the IDENTICAL definition (value at rank ceil(q*n))
+    "q57_quantiles" ->
+      ("WITH c AS (SELECT source, n_chars, doc_id, " +
+      "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
+      "count(*) OVER (PARTITION BY source) AS n FROM documents), " +
+      "q AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) " +
+      "SELECT c.source, q.q, c.n_chars AS value FROM c, q " +
+      "WHERE c.rn = greatest(1, CAST(ceil(q.q * c.n) AS BIGINT))"),
+
+    // MINSTD keep-set: all arithmetic below 2^63 in both engines
+    "q58_hash_sample" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+      "WHERE ((doc_id % 2147483647) * 48271 % 2147483647) % 1000 < 250"),
+
+    // multiply-before-divide + round-half-away pinned on both sides
+    "q59_quantize_int8" ->
+      ("WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e) " +
+      "SELECT vec_id, CAST(j AS INTEGER) AS idx, " +
+      "CASE WHEN mx = 0 THEN 0 ELSE CAST(round((v[CAST(j AS INTEGER) + 1] * 127.0) / mx) AS INTEGER) END AS qv, mx " +
+      "FROM m CROSS JOIN (SELECT unnest(range(64)) AS j) t")
   )
 }

@@ -97,4 +97,41 @@ object Curation {
       .filter(col("rk") <= k)
       .select(col("doc"), col("word"), col("tf"), col("df"), col("score"), col("rk"))
   }
+
+  /** Exact per-key quantiles (percentile_disc semantics: the value at
+    * rank ⌈q·n⌉, never an interpolation) — length/score distribution
+    * audits where approximate sketches aren't reproducible across runs.
+    * ONE shuffle: the rank window and the count window share the key
+    * partitioning, the quantile fan-out is a map-side explode, and the
+    * rank filter keeps n·|qs| rows from becoming n·|qs| comparisons
+    * anywhere downstream. `idCol` breaks value ties so the picked ROW is
+    * deterministic (the picked VALUE is deterministic regardless).
+    */
+  def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
+                     idCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol).asc, col(idCol).asc)
+    df.select(col(keyCol), col(valCol), col(idCol))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))).cast("long"))
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .filter(col("rn") === greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
+      .select(col(keyCol), col("q"), col(valCol).as("value"))
+  }
+
+  /** Deterministic hash sampling: keep ~`fraction` of rows chosen by a
+    * MINSTD hash of the id — the reproducible alternative to
+    * `df.sample` (whose seed is per-partition-ordering dependent).
+    * The same id is kept or dropped in EVERY run, engine, and partition
+    * layout, so training mixes rebuild identically and samples of two
+    * correlated tables stay aligned on the shared key. Map-only.
+    * All arithmetic stays below 2⁶³ (id is reduced mod the Mersenne
+    * prime first), so the same expression runs overflow-free in SQL.
+    */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
+    val p = 2147483647L // 2^31 - 1
+    val keep = math.round(fraction * 1000).toInt
+    df.filter((col(idCol) % p) * 48271L % p % 1000L < keep)
+  }
 }

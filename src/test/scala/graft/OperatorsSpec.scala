@@ -884,6 +884,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
+    import spark.implicits._
+    // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
+    val df = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+                 (5L, "b", 7L)).toDF("doc_id", "source", "n_chars")
+    val qs = Curation.exactQuantiles(df, "source", "n_chars", "doc_id", Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(qs == Map(("a", 0.5) -> 20L, ("a", 1.0) -> 40L,
+                     ("b", 0.5) -> 7L, ("b", 1.0) -> 7L))
+    // hash sample: deterministic keep-set, unchanged by partitioning;
+    // fraction 0 and 1 are the empty and identity samples
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val s1 = Curation.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Curation.hashSample(docs.repartition(13), "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty && s1.size < docs.count())
+    assert(Curation.hashSample(docs, "doc_id", 0.0).count() == 0)
+    assert(Curation.hashSample(docs, "doc_id", 1.0).count() == docs.count())
+    // int8 quantize: range bound, zero-vector guard, dequantize error
+    // within mx/254 per component (half-ULP of the 127-step grid)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q8 = Ann.quantizeInt8(emb, "vec_id", "embedding")
+    assert(q8.filter(abs(col("qv")) > 127).count() == 0)
+    val back = q8.join(
+        emb.select(col("vec_id"), posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("idx", "x"))), Seq("vec_id", "idx"))
+      .withColumn("err", abs(col("qv") * col("mx") / 127.0 - col("x")))
+      .filter(col("err") > col("mx") / 254.0 + lit(1e-12))
+    assert(back.count() == 0, "dequantization error exceeds half a grid step")
+    val zv = Ann.quantizeInt8(Seq((9L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(zv.filter(col("qv") =!= 0).count() == 0)
+  }
+
   test("multi-zoom tile rollup emits all requested zooms") {
     val docs = graft.sources.DocsTable.docs(spark, dir)
     val polys = graft.sources.DocsTable.extractGeometries(docs)
