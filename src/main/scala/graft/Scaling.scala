@@ -60,7 +60,11 @@ object Scaling {
     "q29_makevalid" -> 48,
     "q01_tile_assign" -> 480,
     "q03_pip_join" -> 480,
-    "q30_mvt_prepare" -> Q30Tier)
+    "q30_mvt_prepare" -> Q30Tier,
+    // round 5: the big-big shuffle join family's representative — ~4×
+    // cheaper per row than q21 at sf0.1, so ×16 lands the lo side in the
+    // same tens-of-seconds band the other tiers target
+    "q54_distance_join" -> 16)
 
   private def dirFor(factor: Int) = s"/tmp/graft_scaled$factor"
 
