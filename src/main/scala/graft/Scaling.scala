@@ -61,10 +61,10 @@ object Scaling {
     "q01_tile_assign" -> 480,
     "q03_pip_join" -> 480,
     "q30_mvt_prepare" -> Q30Tier,
-    // round 5: the big-big shuffle join family's representative — ~4×
-    // cheaper per row than q21 at sf0.1, so ×16 lands the lo side in the
-    // same tens-of-seconds band the other tiers target
-    "q54_distance_join" -> 16)
+    // round 5: the big-big shuffle join family's representative. ×48
+    // (the q21/q29 dir) puts the lo side ~30 s — the ×16 first cut left
+    // the pair fixed-overhead-bound (lo 11 s, Amdahl S≈2.7 s)
+    "q54_distance_join" -> 48)
 
   private def dirFor(factor: Int) = s"/tmp/graft_scaled$factor"
 
@@ -109,6 +109,26 @@ object Scaling {
       graft.operators.TilePipeline.mvtCommands(in, "geom", "z9", "tx", "ty")
         .select(col("pid"), col("mvt_type"),
           size(col("mvt_commands")).cast("long").as("n_cmds"))
+    }),
+
+    "q54_distance_join" -> ((s, dir) => {
+      // density-normalized radius: the replica REHASHES shifted orderkeys
+      // into new distinct positions, so a ×16 tier is ×16 DENSITY and the
+      // gate's fixed radius would grow output pairs ~quadratically (the
+      // first recorded pair measured ~1.2e9-pair materialization volume,
+      // not parallelism). r = 1/√tier keeps pairs-per-query at the sf0.1
+      // gate's level while the input is tier× — the honest fixed-work-
+      // per-row scaling shape for a density-coupled operator.
+      val factor = "scaled(\\d+)".r.findFirstMatchIn(dir).map(_.group(1).toInt).getOrElse(1)
+      val radius = 1.0 / math.sqrt(factor.toDouble)
+      val pts = graft.sources.Synth.points(s, dir)
+      val l = pts.filter(col("pid") % 4 === 0)
+        .select(col("pid").as("qid"), col("lon").as("qlon"), col("lat").as("qlat"))
+      val r = pts.select(col("pid").as("nid"), col("lon"), col("lat"))
+      graft.operators.SpatialJoin.distanceJoin(l, "qlon", "qlat", r, "lon", "lat",
+          radius)
+        .filter(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"))
     }))
 
   /** One session at `cpus`: warm up on sf0.001, then run each query on its
