@@ -884,6 +884,60 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("spatial joins on seeded random data incl. polar clamp and antimeridian") {
+    import spark.implicits._
+    // one seeded corpus, edge-heavy: uniform world + clusters hugging the
+    // ±85.05112 mercator clamp and the ±180 antimeridian
+    val rnd = new scala.util.Random(20260817L)
+    def lon() = rnd.nextInt(5) match {
+      case 0 => -180.0 + rnd.nextDouble() * 0.5
+      case 1 => 179.5 + rnd.nextDouble() * 0.5
+      case _ => rnd.nextDouble() * 360.0 - 180.0
+    }
+    def lat() = rnd.nextInt(5) match {
+      case 0 => 84.5 + rnd.nextDouble() * 5.0   // above the clamp too
+      case 1 => -89.5 + rnd.nextDouble() * 5.0
+      case _ => rnd.nextDouble() * 170.0 - 85.0
+    }
+    val pts = (0 until 400).map(i => (i.toLong, lon(), lat()))
+      .toDF("pid", "lon", "lat")
+    val boxes = (0 until 300).map { i =>
+      val (x, y) = (lon(), lat()); val w = rnd.nextDouble() * 20.0
+      (i.toLong, x, y, x + w, y + rnd.nextDouble() * 10.0)
+    }.toDF("bid", "bminx", "bminy", "bmaxx", "bmaxy")
+    // distance join vs naive, two zoom regimes (derived + explicit coarse)
+    val qs2 = pts.limit(120).select(col("pid").as("qid"),
+      col("lon").as("qlon"), col("lat").as("qlat"))
+    val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+    val wantD = qs2.crossJoin(pts).filter(d2 <= 25.0)
+      .select(col("qid"), col("pid"))
+    for (z <- Seq(-1, 3)) {
+      val gotD = SpatialJoin.distanceJoin(qs2, "qlon", "qlat",
+          pts, "lon", "lat", radius = 5.0, z = z).select(col("qid"), col("pid"))
+      assert(gotD.count() > 0, s"vacuous distance case at z=$z")
+      assert(gotD.exceptAll(wantD).count() == 0 && wantD.exceptAll(gotD).count() == 0,
+        s"distance join diverges on edge-heavy corpus at z=$z")
+    }
+    // extent join (boxes × boxes self, distinct col names) vs naive
+    val a2 = boxes.select(col("bid").as("aid"), col("bminx").as("aminx"),
+      col("bminy").as("aminy"), col("bmaxx").as("amaxx"), col("bmaxy").as("amaxy"))
+    val wantE = a2.crossJoin(boxes).filter(
+        col("aminx") <= col("bmaxx") && col("bminx") <= col("amaxx") &&
+        col("aminy") <= col("bmaxy") && col("bminy") <= col("amaxy"))
+      .select(col("aid"), col("bid"))
+    for (z <- Seq(2, 7)) {
+      val gotE = SpatialJoin.extentJoin(a2, "aminx", "aminy", "amaxx", "amaxy",
+          boxes, "bminx", "bminy", "bmaxx", "bmaxy", z = z)
+        .select(col("aid"), col("bid"))
+      assert(gotE.count() > 0)
+      assert(gotE.count() == gotE.distinct().count(),
+        s"reporting-cell dedupe failed at z=$z (clamped corners?)")
+      assert(gotE.exceptAll(wantE).count() == 0 && wantE.exceptAll(gotE).count() == 0,
+        s"extent join diverges on edge-heavy corpus at z=$z")
+    }
+  }
+
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
     import spark.implicits._
     // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
