@@ -73,10 +73,13 @@ object Curation {
     * implementations differ in ULPs across libms and would break the
     * hash gate and cross-run determinism).
     *
-    * Shuffle shape at corpus scale: (1) groupBy(doc, word) with map-side
-    * combine — the only pass over raw text; (2) groupBy(word) over the
-    * already-distinct (doc, word) set for df (a plain count — no
-    * count(DISTINCT) shuffle); (3) the tf⋈df equi-join on word; (4) the
+    * Shuffle shape at corpus scale — ONE raw-text scan, three exchanges,
+    * no join: (1) groupBy(doc, word) with map-side combine — the only
+    * pass over text; (2) df as an unbounded-frame window COUNT over the
+    * word partitioning of the already-distinct (doc, word) rows (a
+    * groupBy-then-join-back formulation reads clean but Catalyst inlines
+    * the tf subplan into both join inputs and SCANS THE CORPUS TWICE —
+    * the window keeps the tf rows, so df rides the same data); (3) the
     * per-doc window in rank+filter form, so InferWindowGroupLimit keeps
     * a map-side partial top-k below the doc exchange. Tokenization is
     * built-in `split`/`filter` (codegen'd, TextKernels.tokens parity).
@@ -87,9 +90,9 @@ object Curation {
     val words = docs.select(col(idCol).as("doc"),
       explode(filter(split(lower(col(textCol)), "\\s+"),
         w => w =!= lit(""))).as("word"))
-    val tf = words.groupBy("doc", "word").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    tf.join(df, "word")
+    words.groupBy("doc", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("word"))).cast("long"))
       .withColumn("score", col("tf") * lit(nDocs + 1.0) / (col("df") + lit(1.0)))
       .withColumn("rk",
         row_number().over(Window.partitionBy(col("doc"))

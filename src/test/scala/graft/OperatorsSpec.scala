@@ -881,7 +881,15 @@ class OperatorsSpec extends AnyFunSuite {
     // per-doc cap holds and the window runs in rank+filter form with the
     // map-side partial group limit
     assert(out.groupBy("doc").count().collect().forall(_.getLong(1) <= 2))
-    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    // ONE corpus pass: the token explode appears exactly once — a
+    // groupBy-df-join-back form made Catalyst scan the text twice.
+    // (AQE's toString prints the Initial Plan after the Final Plan —
+    // count only the executed section)
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    val explodes = "Generate explode".r.findAllIn(finalPlan).size
+    assert(explodes == 1, s"expected 1 token explode, plan has $explodes:\n$finalPlan")
   }
 
   test("spatial joins on seeded random data incl. polar clamp and antimeridian") {
