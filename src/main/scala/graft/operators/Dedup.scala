@@ -17,6 +17,17 @@ import graft.functions.TextKernels
   */
 object Dedup {
 
+  /** Spill-safe materialization for frames read by BOTH sides of a
+    * self-join or by two join-backs. Catalyst inlines a twice-referenced
+    * subplan into both consumers (no exchange reuse across aliased
+    * sides — verified on the executed plans), so without this the
+    * signature/shingle/bucket kernels and the raw-text scan run TWICE
+    * per operator — the dominant cost at corpus scale. Same policy as
+    * Knn.materialize: MEMORY_AND_DISK (explicit spill, no recompute).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** exact dedup: (text_md5, keeper_id, n_copies, dup_ids). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
@@ -63,7 +74,10 @@ object Dedup {
                    bands: Int = 4, rowsPerBand: Int = 4,
                    threshold: Double = 0.5): DataFrame = {
     val numPerms = bands * rowsPerBand
-    val sig = docs.select(col(idCol).as("doc"), minhash(col(textCol), lit(numPerms)).as("sig"))
+    // materialized: the self-join below reads `banded` on both sides —
+    // unpersisted, the MinHash kernel and the text scan run twice
+    val sig = materialize(
+      docs.select(col(idCol).as("doc"), minhash(col(textCol), lit(numPerms)).as("sig")))
     val banded = sig.select(col("doc"), col("sig"),
       posexplode(array((0 until bands).map(b => bandHash(col("sig"), b, rowsPerBand)): _*))
         .as(Seq("band", "bhash")))
@@ -206,7 +220,10 @@ object Dedup {
                         threshold: Double = 0.5): DataFrame = {
     val cands = nearDupPairs(docs, idCol, textCol, bands, rowsPerBand, threshold = 0.0)
       .select(col("doc_a"), col("doc_b"))
-    val sh = docs.select(col(idCol).as("doc"), shingle_hashes(col(textCol)).as("sh"))
+    // materialized: joined back once per pair side — unpersisted, the
+    // shingle kernel and the text scan run twice
+    val sh = materialize(
+      docs.select(col(idCol).as("doc"), shingle_hashes(col(textCol)).as("sh")))
     cands
       .join(sh.select(col("doc").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(sh.select(col("doc").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
@@ -221,8 +238,9 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    prefixBits: Int = 16, maxDist: Int = 3): DataFrame = {
-    val hashed = docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
-      .withColumn("block", shiftright(col("sh"), 31 - prefixBits))
+    val hashed = materialize( // self-joined: both sides read the cache
+      docs.select(col(idCol).as("doc"), simhash(col(textCol)).as("sh"))
+        .withColumn("block", shiftright(col("sh"), 31 - prefixBits)))
     hashed.as("a").join(hashed.as("b"),
         col("a.block") === col("b.block") && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -240,7 +258,8 @@ object Dedup {
     */
   def embedNearDupPairs(corpus: DataFrame, dim: Int, bits: Int = 8,
                         tau: Double = 0.99): DataFrame = {
-    val b = corpus.withColumn("bucket", Ann.lshBucket(col("vec"), dim, bits))
+    val b = materialize( // self-joined: both sides read the cache
+      corpus.withColumn("bucket", Ann.lshBucket(col("vec"), dim, bits)))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"),
@@ -260,9 +279,10 @@ object Dedup {
         (_, i) => concat_ws(" ",
           (0 until n).map(j => element_at(split(lower(col(textCol)), "\\s+"), i + j + 1)): _*)))
         .as("grams"))
+    val g = materialize(grams) // joined back once per pair side
     pairs
-      .join(grams.select(col("doc").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(grams.select(col("doc").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .join(g.select(col("doc").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(g.select(col("doc").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("uni", size(array_union(col("ga"), col("gb"))))
       .select(col("doc_a"), col("doc_b"),
