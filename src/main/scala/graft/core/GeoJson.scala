@@ -320,7 +320,7 @@ object GeoJson {
     else if (n.isNumber) n.asDouble
     else if (n.isArray) (0 until n.size).map(i => anyOf(n.get(i))).toVector
     else if (n.isObject) {
-      val it = n.fields()
+      val it = n.properties().iterator()
       val mb = scala.collection.immutable.ListMap.newBuilder[String, Any]
       while (it.hasNext) { val e = it.next(); mb += ((e.getKey, anyOf(e.getValue))) }
       mb.result()
@@ -331,7 +331,7 @@ object GeoJson {
     */
   private def fieldCI(n: JsonNode, name: String): Option[JsonNode] =
     Option(n.get(name)).orElse {
-      val it = n.fields()
+      val it = n.properties().iterator()
       var found: Option[JsonNode] = None
       while (found.isEmpty && it.hasNext) {
         val e = it.next()

@@ -101,7 +101,7 @@ object SpatialJoin {
     l.join(r, Seq("__cell"), "inner")
       .withColumn("dist2", d2)
       .filter(col("dist2") <= lit(radius * radius))
-      .select(left.columns.map(col) ++ right.columns.map(col) :+ col("dist2"): _*)
+      .select((left.columns.map(col) ++ right.columns.map(col) :+ col("dist2")).toIndexedSeq: _*)
   }
 
   /** Extent (bbox-overlap) join: all (a, b) pairs whose closed-interval
@@ -131,6 +131,6 @@ object SpatialJoin {
       greatest(col(aMinx), col(bMinx)), least(col(aMaxy), col(bMaxy)), lit(z))
     ea.join(eb, Seq("__cell"), "inner")
       .filter(overlap && col("__cell") === reportingCell)
-      .select(a.columns.map(col) ++ b.columns.map(col): _*)
+      .select((a.columns.map(col) ++ b.columns.map(col)).toIndexedSeq: _*)
   }
 }
