@@ -946,6 +946,39 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pipJoin enriches a streaming point feed against static polygons (parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.functions.GeomFunctions._
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the same operator, left side a STREAM: Spark's stream-static inner
+    // equi-join — geofencing-style enrichment with no operator changes
+    // (z passed explicitly: a stream has no parquet footers to derive from)
+    val regions = graft.sources.Synth.regions(spark, dir)
+      .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+    val pts = graft.sources.Synth.points(spark, dir)
+      .select(col("pid"), col("lon"), col("lat")).limit(400)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val input = MemoryStream[(Long, Double, Double)]
+    val sdf = input.toDF().toDF("pid", "lon", "lat")
+    val out = SpatialJoin.pipJoin(sdf, "lon", "lat", regions, "poly", z = 5)
+      .select(col("pid"), col("region_id"))
+    val q = out.writeStream.format("memory").queryName("pip_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(pts.take(250).toSeq); q.processAllAvailable()
+      input.addData(pts.drop(250).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pip_stream")
+    val batch = SpatialJoin.pipJoin(
+        pts.toSeq.toDF("pid", "lon", "lat"), "lon", "lat", regions, "poly", z = 5)
+      .select(col("pid"), col("region_id"))
+    assert(batch.count() > 0, "vacuous: no point landed in a region")
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream-static PIP enrichment diverges from the batch join")
+  }
+
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
     import spark.implicits._
     // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
