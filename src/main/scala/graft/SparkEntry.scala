@@ -806,6 +806,16 @@ object SparkEntry {
       // symmetric per-vector int8 quantization of the embedding column
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       graft.operators.Ann.quantizeInt8(emb, "vec_id", "embedding")
+    }),
+
+    "q60_image_resize" -> ((s, dir) => {
+      // REAL decode + nearest-neighbor resize 16×16 → 8×8: source pixel
+      // (2x, 2y) by integer floor division, so the oracle replays the
+      // synthetic pixel function at the sampled coordinates exactly
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
+      val pngs = graft.operators.Media.synthPng(s, ids, "doc_id", w = 16, h = 16)
+      graft.operators.Media.resizePixels(s, pngs, "media_id", "png", dw = 8, dh = 8)
     })
   )
 
@@ -1562,6 +1572,19 @@ object SparkEntry {
       "m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e) " +
       "SELECT vec_id, CAST(j AS INTEGER) AS idx, " +
       "CASE WHEN mx = 0 THEN 0 ELSE CAST(round((v[CAST(j AS INTEGER) + 1] * 127.0) / mx) AS INTEGER) END AS qv, mx " +
-      "FROM m CROSS JOIN (SELECT unnest(range(64)) AS j) t")
+      "FROM m CROSS JOIN (SELECT unnest(range(64)) AS j) t"),
+
+    // the q48 pixel-function replay at the resize's source coordinates
+    // (dst (x,y) <- src (2x, 2y) for 16->8 by integer floor division)
+    "q60_image_resize" ->
+      ("WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0), " +
+      "px AS (SELECT doc_id, xs.x AS x, ys.y AS y FROM ids " +
+      "CROSS JOIN (SELECT unnest(range(8)) AS x) xs " +
+      "CROSS JOIN (SELECT unnest(range(8)) AS y) ys) " +
+      "SELECT doc_id AS media_id, CAST(x AS INTEGER) AS x, CAST(y AS INTEGER) AS y, " +
+      "CAST((doc_id * 7 + (2 * x) * 13 + (2 * y) * 17) % 256 AS INTEGER) AS r, " +
+      "CAST((doc_id * 11 + (2 * x) * 3 + (2 * y) * 29) % 256 AS INTEGER) AS g, " +
+      "CAST((doc_id * 5 + (2 * x) * 23 + (2 * y) * 7) % 256 AS INTEGER) AS b " +
+      "FROM px")
   )
 }

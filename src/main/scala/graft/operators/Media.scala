@@ -157,6 +157,33 @@ object Media {
       }.toDF("media_id", "cell_x", "cell_y", "mean_r", "mean_g", "mean_b")
   }
 
+  /** REAL nearest-neighbor resize of the decoded raster to dw×dh, emitted
+    * as per-pixel rows. Source index is pure integer math — sx = x·sw/dw,
+    * sy = y·sh/dh (floor division) — so the resize is bit-reproducible in
+    * any engine (no Graphics2D interpolation, whose rounding is
+    * implementation-defined). The standard thumbnail/normalize step of a
+    * multimodal ingest; one decoder per partition, rows stream,
+    * undecodable blobs skip.
+    */
+  def resizePixels(spark: SparkSession, media: DataFrame, idCol: String,
+                   blobCol: String, dw: Int, dh: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, blob) =>
+          decodeImage(blob).iterator.flatMap { im =>
+            for (y <- 0 until dh; x <- 0 until dw) yield {
+              val sx = x * im.width / dw
+              val sy = y * im.height / dh
+              val p = im.argb(sy * im.width + sx)
+              (id, x, y, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)
+            }
+          }
+        }
+      }.toDF("media_id", "x", "y", "r", "g", "b")
+  }
+
   /** frame-sampled feature extraction: one decoder per partition, rows
     * streamed; emits (media_id, frame, feature[dim]) for every sampled
     * frame (stride `frameStep`).

@@ -979,6 +979,24 @@ class OperatorsSpec extends AnyFunSuite {
       "stream-static PIP enrichment diverges from the batch join")
   }
 
+  test("image resize: non-integer ratio nearest-neighbor matches the pixel fn") {
+    import spark.implicits._
+    val ids = Seq(3L, 8L, 21L).toDF("doc_id")
+    val pngs = Media.synthPng(spark, ids, "doc_id", w = 16, h = 16)
+    // 16 -> 5 (non-integer ratio): sx = x*16/5 floor = 0,3,6,9,12
+    val out = Media.resizePixels(spark, pngs, "media_id", "png", dw = 5, dh = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(out.size == 3 * 25)
+    for (id <- Seq(3L, 8L, 21L); x <- 0 until 5; y <- 0 until 5) {
+      val want = Media.synthPixel(id, x * 16 / 5, y * 16 / 5)
+      assert(out((id, x, y)) == want, s"pixel ($id,$x,$y)")
+    }
+    // poison blob skips, never throws
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "png")
+    assert(Media.resizePixels(spark, bad, "media_id", "png", 4, 4).count() == 0)
+  }
+
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
     import spark.implicits._
     // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
