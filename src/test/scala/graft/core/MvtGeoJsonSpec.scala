@@ -358,6 +358,32 @@ class MvtGeoJsonSpec extends AnyFunSuite {
     intercept[Exception](MvtTile.decodeTile(neg))
   }
 
+  test("mvt decoder survives 500 seeded byte mutations (never hangs, never mis-frames)") {
+    // the guard set (message-end bounds, 10-byte varint cap, 64-bit
+    // length rejection) means any corruption either decodes SOME valid
+    // framing or throws a clean Exception — no hangs, no JVM errors
+    val good = MvtTile.encodeTile(Vector(MvtTile.Layer("t", Vector(
+      MvtTile.Feature(7L, 2, Mvt.encodeGeometry(
+        GLineString(P((2, 2), (10, 10), (10, 2))))._1,
+        Vector("k" -> MvtTile.TagValue.VString("v"),
+          "d" -> MvtTile.TagValue.VDouble(2.5),
+          "n" -> MvtTile.TagValue.VInt(-3L)))))))
+    val rnd = new scala.util.Random(424242L)
+    var threw = 0
+    for (_ <- 0 until 500) {
+      val m = good.clone()
+      val nMut = 1 + rnd.nextInt(3)
+      for (_ <- 0 until nMut)
+        m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      try { MvtTile.decodeTile(m); () }
+      catch { case _: Exception => threw += 1 } // Error/hang would fail the suite
+    }
+    // sanity: mutations do get rejected sometimes (the guards fire)
+    assert(threw > 0, "no mutation ever threw — guards likely dead")
+    // and the pristine tile still decodes after the fuzz loop
+    assert(MvtTile.decodeTile(good).head.features.head.id == 7L)
+  }
+
   test("feature ids outside int64 error instead of wrapping (round-5 review)") {
     // 2^64-1 is a legal Go uint64 id but exceeds our Long: Jackson asLong
     // would silently wrap it negative — must be a GeoJsonException
