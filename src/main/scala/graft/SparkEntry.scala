@@ -816,6 +816,21 @@ object SparkEntry {
         .filter(col("doc_id") % 5 === 0).select(col("doc_id"))
       val pngs = graft.operators.Media.synthPng(s, ids, "doc_id", w = 16, h = 16)
       graft.operators.Media.resizePixels(s, pngs, "media_id", "png", dw = 8, dh = 8)
+    }),
+
+    "q61_asof_join" -> ((s, dir) => {
+      // point-in-time enrichment: each click gets the latest view AT OR
+      // BEFORE it for the same user — the union-window as-of form (one
+      // key shuffle, no join). Inner form (unmatched clicks dropped).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsOf.asofJoin(l, r, "user_id", "ts", rightTieCol = "view_id")
+        .filter(col("view_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
     })
   )
 
@@ -1585,6 +1600,17 @@ object SparkEntry {
       "CAST((doc_id * 7 + (2 * x) * 13 + (2 * y) * 17) % 256 AS INTEGER) AS r, " +
       "CAST((doc_id * 11 + (2 * x) * 3 + (2 * y) * 29) % 256 AS INTEGER) AS g, " +
       "CAST((doc_id * 5 + (2 * x) * 23 + (2 * y) * 7) % 256 AS INTEGER) AS b " +
-      "FROM px")
+      "FROM px"),
+
+    // explicit LATERAL replay of the as-of tie rules: latest rts <= ts,
+    // ties by largest view_id
+    "q61_asof_join" ->
+      ("WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+      "r AS (SELECT user_id, ts AS rts, event_id AS view_id, value AS view_value " +
+      "FROM events WHERE event_type = 'view') " +
+      "SELECT l.event_id, l.user_id, m.view_id, m.view_value FROM l, LATERAL (" +
+      "SELECT view_id, view_value FROM r " +
+      "WHERE r.user_id = l.user_id AND r.rts <= l.ts " +
+      "ORDER BY r.rts DESC, view_id DESC LIMIT 1) m")
   )
 }

@@ -997,6 +997,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Media.resizePixels(spark, bad, "media_id", "png", 4, 4).count() == 0)
   }
 
+  test("as-of join: at-or-before matching, pinned ties, one shuffle, no join") {
+    import spark.implicits._
+    // left: clicks at t; right: views. user 1 exercises before/at/ties;
+    // user 2 has no prior view for its first click
+    val l = Seq((100L, 1L, 10L), (101L, 1L, 20L), (102L, 2L, 5L), (103L, 2L, 30L))
+      .toDF("event_id", "user_id", "t")
+    val r = Seq(
+      (900L, 1L, 10L, 1.0),  // AT click 100's time — must match (at-or-before)
+      (901L, 1L, 10L, 2.0),  // same (user, t): larger view_id wins the tie
+      (902L, 1L, 15L, 3.0),  // latest before click 101
+      (903L, 2L, 25L, 4.0)   // after click 102, before click 103
+    ).toDF("view_id", "user_id", "t", "view_value")
+      .select(col("user_id"), col("t"), col("view_id"), col("view_value"))
+    val out = AsOf.asofJoin(l, r, "user_id", "t", rightTieCol = "view_id")
+    val got = out.collect().map(x => x.getAs[Long]("event_id") ->
+      (Option(x.getAs[java.lang.Long]("view_id")).map(_.toLong),
+       Option(x.getAs[java.lang.Double]("view_value")).map(_.toDouble))).toMap
+    assert(got(100L) == ((Some(901L), Some(2.0))), s"tie rule: ${got(100L)}")
+    assert(got(101L) == ((Some(902L), Some(3.0))))
+    assert(got(102L) == ((None, None)), "no prior view must yield nulls")
+    assert(got(103L) == ((Some(903L), Some(4.0))))
+    // the scalable shape: ONE exchange (the key window), NO join operator
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.toLowerCase.contains("join"), s"as-of must not plan a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange:\n$plan")
+  }
+
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
     import spark.implicits._
     // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
