@@ -735,12 +735,16 @@ object SparkEntry {
       // q03's semantics through the NO-BROADCAST plan (SpatialJoin
       // .pipJoin): both sides keyed by cell, one shuffle join, exact
       // st_contains filter — the path for a polygon side too large to
-      // broadcast. Same oracle as q03; the gate pins that the shuffle
-      // plan is result-identical to the broadcast plan.
+      // broadcast. The round-6 form bounds per-row replication: polygons
+      // cover at a per-row adaptive zoom (≤64 cells) shipping only
+      // (id, bbox, cell); the geometry joins back by region_id for the
+      // exact predicate. Same oracle as q03; the gate pins that the
+      // bounded shuffle plan is result-identical to the broadcast plan.
       val pts = Synth.points(s, dir)
       val regions = Synth.regions(s, dir)
         .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
-      graft.operators.SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly", z = 5)
+      graft.operators.SpatialJoin.pipJoin(pts, "lon", "lat", regions,
+          "region_id", "poly", z = 5)
         .select(col("pid"), col("region_id"))
     }),
 
@@ -762,10 +766,12 @@ object SparkEntry {
     "q55_extent_join" -> ((s, dir) => {
       // bbox-overlap join with the reporting-cell dedupe (one shuffle,
       // NO distinct exchange): each overlapping pair is emitted only in
-      // the cell of its intersection rectangle's NW corner. Left side:
-      // 2°×2° boxes grown from a point subset; right side: the region
-      // bboxes (regions never overlap EACH OTHER, so a self-join is
-      // vacuous — this cross-table form has real matches)
+      // the cell of its intersection rectangle's NW corner, at the
+      // shallower of the pair's per-row adaptive cover zooms (round-6
+      // hierarchical form; zoom derived from footer stats by default).
+      // Left side: 2°×2° boxes grown from a point subset; right side:
+      // the region bboxes (regions never overlap EACH OTHER, so a
+      // self-join is vacuous — this cross-table form has real matches)
       val pts = Synth.points(s, dir).filter(col("pid") % 16 === 0)
       val a = pts.select(col("pid"),
         col("lon").as("aminx"), col("lat").as("aminy"),
@@ -775,7 +781,7 @@ object SparkEntry {
         col("maxx").as("bmaxx"), col("maxy").as("bmaxy"))
       graft.operators.SpatialJoin.extentJoin(
           a, "aminx", "aminy", "amaxx", "amaxy",
-          b, "bminx", "bminy", "bmaxx", "bmaxy", z = 6)
+          b, "bminx", "bminy", "bmaxx", "bmaxy")
         .select(col("pid"), col("region_id"))
     }),
 

@@ -223,6 +223,77 @@ object Slippy {
     Extent(ax, south, bx, north)
   }
 
+  // ---- adaptive (bounded) bbox covers ----
+  //
+  // The distributed spatial joins replicate a row once per cover cell, so an
+  // unbounded `fromBounds` at a point-density zoom is a scale killer: one
+  // continent-size bbox at z=10 covers ~10^5 cells and ships its payload that
+  // many times through the exchange. The adaptive cover instead coarsens the
+  // cover zoom PER ROW until the cell count fits a cap: levels step down by
+  // CoverLevelStep from the join's max zoom to CoverFloorZ (8×8 = 64 cells
+  // spans the whole grid, so every bbox fits ≤ max(cap, 64) cells at the
+  // floor). Cells pack their zoom (see `pack`), so mixed-level cells are
+  // distinct join keys and a point meets a bbox only at the bbox's own level.
+
+  /** 8×8 cells at z=3 cover the world — every bbox cover fits 64 cells here. */
+  val CoverFloorZ = 3
+
+  /** zoom stride between adaptive-cover levels: step 2 keeps the level count
+    * (= small-side replication in the hierarchical joins) at ~zmax/2 while a
+    * one-step coarsening still shrinks a cover 4×.
+    */
+  val CoverLevelStep = 2
+
+  /** the descending level ladder `zmax, zmax-2, …` down to (and always
+    * including) [[CoverFloorZ]]. `zmax ≤ CoverFloorZ` degenerates to the floor.
+    */
+  def coverLevels(zmax: Int): IndexedSeq[Int] = {
+    val top = math.max(CoverFloorZ, math.min(MaxZoom, zmax))
+    val b = Vector.newBuilder[Int]
+    var z = top
+    while (z > CoverFloorZ) { b += z; z -= CoverLevelStep }
+    b += CoverFloorZ
+    b.result()
+  }
+
+  /** `fromBounds(z, …).size` without enumerating the cells. */
+  def coverCountAt(z: Int, minLon: Double, minLat: Double,
+                   maxLon: Double, maxLat: Double): Long = {
+    val x1 = lon2Num(z, minLon); val y1 = lat2Num(z, minLat)
+    val x2 = lon2Num(z, maxLon); val y2 = lat2Num(z, maxLat)
+    (math.abs(x2 - x1) + 1).toLong * (math.abs(y2 - y1) + 1).toLong
+  }
+
+  /** deepest level of [[coverLevels]](zmax) whose cover of the bbox has
+    * ≤ `cap` cells; the floor level if none does (≤ 64 cells there).
+    */
+  def coverZoomFor(zmax: Int, cap: Int, minLon: Double, minLat: Double,
+                   maxLon: Double, maxLat: Double): Int = {
+    val levels = coverLevels(zmax)
+    var i = 0
+    while (i < levels.length - 1) {
+      if (coverCountAt(levels(i), minLon, minLat, maxLon, maxLat) <= cap)
+        return levels(i)
+      i += 1
+    }
+    levels.last
+  }
+
+  /** concatenated `fromBounds` covers of one bbox at each of `levels`
+    * (callers pass distinct levels; a degenerate point bbox yields exactly
+    * one cell per level — the point's ancestor ladder).
+    */
+  def coverAtLevels(levels: IndexedSeq[Int], minLon: Double, minLat: Double,
+                    maxLon: Double, maxLat: Double): IndexedSeq[Long] = {
+    val b = Vector.newBuilder[Long]
+    var i = 0
+    while (i < levels.length) {
+      b ++= fromBounds(levels(i), minLon, minLat, maxLon, maxLat)
+      i += 1
+    }
+    b.result()
+  }
+
   /** reference tile_grid.go:60-95 NewTileMinMaxer — smallest tile whose
     * extent contains the given extent, walking z = 22 → 0 via FamilyAt.
     */

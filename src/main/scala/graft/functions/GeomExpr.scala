@@ -387,6 +387,51 @@ case class StTilesForBounds3857(minX: Expression, minY: Expression,
     copy(c(0), c(1), c(2), c(3), c(4))
 }
 
+/** per-row adaptive cover zoom: the deepest level of
+  * `Slippy.coverLevels(zmax)` at which the bbox covers ≤ `cap` cells —
+  * bounds a spatial join's per-row replication (a continent-scale bbox
+  * coarsens itself instead of exploding to 10^5 point-density cells).
+  * Composes the reference's FromBounds grid walk (tile.go:111-145) with
+  * the TileMinMaxer idea (tile_grid.go:60-95) of climbing zooms until the
+  * geometry fits.
+  */
+case class StCoverZoom(minLon: Expression, minLat: Expression,
+                       maxLon: Expression, maxLat: Expression,
+                       zmax: Expression, cap: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType, IntegerType, IntegerType)
+  override def children: Seq[Expression] = Seq(minLon, minLat, maxLon, maxLat, zmax, cap)
+  override def dataType: DataType = IntegerType
+  protected def evalN(v: Array[Any]): Any =
+    Slippy.coverZoomFor(v(4).asInstanceOf[Int], v(5).asInstanceOf[Int],
+      v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double])
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4), c(5))
+}
+
+/** bbox cover cells at EACH of the given zoom levels, concatenated (cells
+  * pack their zoom, so levels never collide as join keys). A degenerate
+  * point bbox yields the point's ancestor ladder — one cell per level.
+  */
+case class StCoverAtLevels(minLon: Expression, minLat: Expression,
+                           maxLon: Expression, maxLat: Expression,
+                           levels: Expression) extends GeomExpr {
+  override def inputTypesImpl: Seq[DataType] =
+    Seq(DoubleType, DoubleType, DoubleType, DoubleType, ArrayType(IntegerType))
+  override def children: Seq[Expression] = Seq(minLon, minLat, maxLon, maxLat, levels)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  protected def evalN(v: Array[Any]): Any = {
+    val lv = v(4).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    val cells = Slippy.coverAtLevels(lv.toIndexedSeq,
+      v(0).asInstanceOf[Double], v(1).asInstanceOf[Double],
+      v(2).asInstanceOf[Double], v(3).asInstanceOf[Double])
+    new GenericArrayData(cells.toArray)
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), c(1), c(2), c(3), c(4))
+}
+
 /** tile extent in 4326 (reference tile_grid.go:48-58). */
 case class StTileEnvelope(cell: Expression) extends GeomExpr {
   override def inputTypesImpl: Seq[DataType] = Seq(LongType)

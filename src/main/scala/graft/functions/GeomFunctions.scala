@@ -50,6 +50,12 @@ object GeomFunctions {
                           maxLat: Column, z: Column): Column =
     col(StTilesForBounds(ex(minLon), ex(minLat), ex(maxLon), ex(maxLat), ex(z)))
   def st_tile_envelope(cell: Column): Column = col(StTileEnvelope(ex(cell)))
+  def st_cover_zoom(minLon: Column, minLat: Column, maxLon: Column,
+                    maxLat: Column, zmax: Column, cap: Column): Column =
+    col(StCoverZoom(ex(minLon), ex(minLat), ex(maxLon), ex(maxLat), ex(zmax), ex(cap)))
+  def st_cover_at_levels(minLon: Column, minLat: Column, maxLon: Column,
+                         maxLat: Column, levels: Column): Column =
+    col(StCoverAtLevels(ex(minLon), ex(minLat), ex(maxLon), ex(maxLat), ex(levels)))
   def st_tiles_for_bounds_3857(minX: Column, minY: Column, maxX: Column,
                                maxY: Column, z: Column): Column =
     col(StTilesForBounds3857(ex(minX), ex(minY), ex(maxX), ex(maxY), ex(z)))
@@ -135,6 +141,8 @@ object GeomFunctions {
     "st_tiles_for_bounds" -> (a => StTilesForBounds(a(0), a(1), a(2), a(3), a(4))),
     "st_tiles_for_bounds_3857" -> (a => StTilesForBounds3857(a(0), a(1), a(2), a(3), a(4))),
     "st_tile_envelope" -> (a => StTileEnvelope(a(0))),
+    "st_cover_zoom" -> (a => StCoverZoom(a(0), a(1), a(2), a(3), a(4), a(5))),
+    "st_cover_at_levels" -> (a => StCoverAtLevels(a(0), a(1), a(2), a(3), a(4))),
     "st_simplify" -> (a => StSimplify(a(0), a(1))),
     "st_clip" -> (a => StClip(a(0), a(1), a(2), a(3), a(4))),
     "st_winding" -> (a => StWinding(a(0))),

@@ -5,49 +5,117 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.GeomFunctions._
 
-/** Distributed point-in-polygon join for the case the broadcast form
-  * (q03's plan) cannot serve: BOTH sides at cluster scale, so neither
-  * fits on an executor. Reference semantics are planar.Ring containment
-  * (ring.go ContainsPoint via the hitmap rules) exactly as the broadcast
-  * path uses them — only the join strategy changes.
+/** Distributed spatial joins for the case the broadcast form (q03's plan)
+  * cannot serve: BOTH sides at cluster scale, so neither fits on an
+  * executor. Semantics are the reference's planar rules (ring.go
+  * containment, planar.PointDistance, closed-interval bbox overlap) —
+  * only the join strategy changes.
   *
-  * Plan shape (the 100 TB path):
-  *   - points key by their single slippy cell at zoom `z` (map-only);
-  *   - polygons explode to the cell cover of their bbox at the same `z`
-  *     (map-only; `FromBounds` semantics, tile.go:118);
-  *   - ONE shuffle join on the packed cell id — sort-merge or shuffled-
-  *     hash as Catalyst picks, AQE handles cell skew (coastal cities) by
-  *     splitting oversized partitions;
-  *   - the exact `st_contains` predicate filters the per-cell candidate
-  *     pairs.
+  * REPLICATION IS BOUNDED PER ROW (round-5 verdict #1). The naive grid
+  * join explodes every geometry to its bbox cover at the point-density
+  * zoom, which ships one copy of the row per cover cell — unbounded: a
+  * continent-scale bbox at z=10 covers ~10^5 cells. Two fixes compose:
   *
-  * No dedupe is needed: a point lies in exactly one z-cell and a
-  * polygon's cover lists each cell once, so a (point, polygon) pair can
-  * meet in at most one cell.
+  *   1. **Per-row adaptive cover zoom** (`st_cover_zoom`): each bbox
+  *      coarsens its own cover level down the `Slippy.coverLevels` ladder
+  *      until it fits ≤ `cap` cells (64 by default; the z=3 floor covers
+  *      the world in 64 cells, so the bound is universal). Cells pack
+  *      their zoom, so mixed-level cells never collide as join keys. The
+  *      other side meets a row at its level via the ancestor ladder
+  *      (points) or its own multi-level cover (boxes) — the LEVEL SET
+  *      actually used is collected from the bbox side first (a tiny
+  *      bbox-columns-only aggregate; when every geometry is small the set
+  *      is one level and the ladder collapses to the old single-cell key).
   *
-  * Choosing `z`: deeper cells mean fewer candidate pairs per cell but
-  * replicate each polygon onto more cells (its bbox cover grows 4× per
-  * step once cells are smaller than the polygon). The sweet spot keys
-  * the grid off POINT density — `Knn.zoomForPlan` (bounded footer
-  * sampling, never a scan) targets ~15 points/cell, which keeps the
-  * per-cell candidate work O(polys overlapping the cell) — and lets
-  * polygon replication land where it must: a polygon spanning many
-  * point-dense cells genuinely has that many cells of work to do.
+  *   2. **Payload-free index side** (pipJoin): only (id, bbox, cell) rides
+  *      the cover exchange — never the WKB. Matched candidate pairs join
+  *      the geometry back by id (one row per id, broadcastable when small)
+  *      for the exact predicate.
   */
 object SpatialJoin {
 
-  /** `points(lonCol, latCol)` × `polys(minxCol..maxyCol, polyCol)` →
-    * all (point, polygon) rows where the polygon contains the point.
+  /** per-row cover-cell cap: 64 = the whole-world cover at the z=3 floor,
+    * so EVERY bbox is guaranteed a qualifying level.
+    */
+  val DefaultCoverCap = 64
+
+  /** distinct adaptive cover zooms present in `df` — a bbox-columns-only
+    * aggregate (column-pruned scan, map-side combine), collected at
+    * plan-build time so the probe side replicates only to levels some
+    * geometry actually uses. Sorted descending for deterministic plans.
+    */
+  private def usedLevels(df: DataFrame, zoomCol: org.apache.spark.sql.Column): Array[Int] =
+    df.select(zoomCol.as("__z")).distinct().collect()
+      .map(_.getInt(0)).sortBy(-_)
+
+  /** `points(lonCol, latCol)` × `polys(idCol, polyCol, minxCol..maxyCol)` →
+    * all (point, polygon) rows where the polygon contains the point
+    * (reference ring.go ContainsPoint rules via `st_contains`).
     * Output columns: every `points` column, then every `polys` column
     * except the bbox (the bbox is an index artifact, not a result).
-    * `z < 0` (default) derives the zoom from the points' parquet
-    * footers via `Knn.zoomForPlan`.
+    *
+    * Plan shape (the 100 TB path):
+    *   - polygons ship ONLY (id, bbox, cell) through the cover exchange —
+    *     ≤ `cap` cells each at their per-row adaptive zoom, never the WKB;
+    *   - points explode to their ancestor cells at the level set the
+    *     polygons actually use (usually one level) — map-only;
+    *   - ONE shuffle join on the packed cell id + a closed-interval bbox
+    *     prefilter kills most candidates before anything wide moves;
+    *   - surviving (point, id) pairs join the geometry back by `idCol`
+    *     (unique per polygon row — caller contract) for the exact
+    *     `st_contains`; Catalyst broadcasts that side when it is small.
+    *
+    * Pair-unique by construction: a polygon's cover is at ONE level and
+    * lists each cell once; a point has exactly one ancestor per level —
+    * so a (point, polygon) pair can meet in at most one cell and the
+    * join-back multiplies by exactly one geometry row.
+    *
+    * `z < 0` (default) derives the max zoom from the points' parquet
+    * footers via `Knn.zoomForPlan` (~15 points/cell target).
     */
   def pipJoin(points: DataFrame, lonCol: String, latCol: String,
-              polys: DataFrame, polyCol: String,
+              polys: DataFrame, idCol: String, polyCol: String,
               minxCol: String = "minx", minyCol: String = "miny",
               maxxCol: String = "maxx", maxyCol: String = "maxy",
-              z: Int = -1): DataFrame = {
+              z: Int = -1, cap: Int = DefaultCoverCap): DataFrame = {
+    val zz = if (z >= 0) z else Knn.zoomForPlan(points)
+    val ptCols = points.columns.map(col).toSeq
+    val polyOut = polys.columns.filterNot(
+      Set(minxCol, minyCol, maxxCol, maxyCol).contains).map(col).toSeq
+
+    val zoomCol = st_cover_zoom(col(minxCol), col(minyCol),
+      col(maxxCol), col(maxyCol), lit(zz), lit(cap))
+    val levels = usedLevels(polys, zoomCol)
+
+    // index side: id + bbox only — the geometry never rides the cover
+    val idx = polys.select(col(idCol), col(minxCol), col(minyCol),
+        col(maxxCol), col(maxyCol))
+      .withColumn("__cell", explode(st_tiles_for_bounds(
+        col(minxCol), col(minyCol), col(maxxCol), col(maxyCol), zoomCol)))
+    val pts = points.withColumn("__cell", explode(st_cover_at_levels(
+      col(lonCol), col(latCol), col(lonCol), col(latCol), typedLit(levels))))
+
+    val candidates = pts.join(idx, Seq("__cell"), "inner")
+      .filter(col(lonCol) >= col(minxCol) && col(lonCol) <= col(maxxCol) &&
+              col(latCol) >= col(minyCol) && col(latCol) <= col(maxyCol))
+      .select(ptCols :+ col(idCol): _*)
+
+    candidates.join(polys.drop(minxCol, minyCol, maxxCol, maxyCol), Seq(idCol), "inner")
+      .filter(st_contains(col(polyCol), col(lonCol), col(latCol)))
+      .select(ptCols ++ polyOut: _*)
+  }
+
+  /** The unbounded flat-cover control for the replication A/B (the round-4
+    * design): every polygon row — INCLUDING its geometry payload —
+    * replicates to its full bbox cover at the single point-density zoom.
+    * Kept only as the measurement baseline SpatialJoinSpec probes shuffle
+    * volume against; production callers use [[pipJoin]].
+    */
+  def pipJoinFlat(points: DataFrame, lonCol: String, latCol: String,
+                  polys: DataFrame, polyCol: String,
+                  minxCol: String = "minx", minyCol: String = "miny",
+                  maxxCol: String = "maxx", maxyCol: String = "maxy",
+                  z: Int = -1): DataFrame = {
     val zz = if (z >= 0) z else Knn.zoomForPlan(points)
     val ptCols = points.columns.map(col).toSeq
     val polyOut = polys.columns.filterNot(
@@ -72,13 +140,16 @@ object SpatialJoin {
     *     toward the poles);
     *   - one shuffle join on the cell, exact distance filter.
     *
+    * Replication here is already bounded per row WITHOUT the adaptive
+    * ladder: the default zoom is the coarser of the density-derived zoom
+    * and the radius bound (cell width ≥ radius keeps a disc cover at
+    * ≤ ~9 cells), and the radius is a join-level constant, so the bound
+    * holds for every row at the single shared level.
+    *
     * Pair-unique without a dedupe: the right point owns ONE cell and the
-    * left cover lists each cell once. Default zoom is the coarser of the
-    * density-derived zoom and the radius bound (cell width ≥ radius keeps
-    * a disc cover at ≤ ~9 cells), so replication stays O(1) per row.
-    * Output: left columns, right columns, `dist2` (squared distance —
-    * callers needing the metric take sqrt once, not per comparison).
-    * Column names must not collide across sides.
+    * left cover lists each cell once. Output: left columns, right columns,
+    * `dist2` (squared distance — callers needing the metric take sqrt
+    * once, not per comparison). Column names must not collide across sides.
     */
   def distanceJoin(left: DataFrame, lonL: String, latL: String,
                    right: DataFrame, lonR: String, latR: String,
@@ -105,30 +176,64 @@ object SpatialJoin {
   }
 
   /** Extent (bbox-overlap) join: all (a, b) pairs whose closed-interval
-    * boxes intersect. Both sides explode to their cell covers and meet
-    * on the cell — which means an overlapping pair can meet in MANY
-    * cells. Instead of a distinct (a whole extra shuffle at 10¹² rows),
-    * each pair elects the REPORTING CELL — the cell of the intersection
-    * rectangle's north-west corner `(max of minxes, min of maxys)`. That
-    * corner lies inside both boxes, so its cell is in both covers and
-    * the pair meets there exactly once; every other meeting is dropped
-    * map-side by a cheap predicate. One shuffle, no dedupe exchange.
-    * Output: a's columns then b's columns (names must not collide).
+    * boxes intersect — the HIERARCHICAL multi-level form, per-row bounded
+    * on BOTH sides.
+    *
+    * Each row picks its adaptive cover zoom (≤ `cap` cells). A pair whose
+    * sides sit at different levels meets at the SHALLOWER of the two: side
+    * a emits its cover at every level `min(za, zb')` for `zb'` in b's
+    * collected level set (and vice versa) — geometrically shrinking
+    * covers, so the per-row total stays ≤ cap + a small coarse tail. Cells
+    * pack their zoom, so a pair (a, b) can only meet at a level both sides
+    * emitted, and the REPORTING-CELL rule picks exactly one meeting: the
+    * pair is kept only in the cell of the intersection rectangle's
+    * north-west corner `(max of minxes, min of maxys)` at level
+    * `min(za, zb)`. That corner lies inside both boxes, so its cell is in
+    * both covers at that level; every other meeting is dropped map-side by
+    * a cheap predicate. ONE shuffle, no distinct exchange, no unbounded
+    * replication.
+    *
+    * `z < 0` (default) derives the max zoom from both sides' parquet
+    * footers (the finer of the two density zooms — the per-row cap
+    * coarsens large boxes back out). Output: a's columns then b's columns
+    * (names must not collide).
     */
   def extentJoin(a: DataFrame, aMinx: String, aMiny: String, aMaxx: String, aMaxy: String,
                  b: DataFrame, bMinx: String, bMiny: String, bMaxx: String, bMaxy: String,
-                 z: Int): DataFrame = {
+                 z: Int = -1, cap: Int = DefaultCoverCap): DataFrame = {
     val shared = a.columns.toSet intersect b.columns.toSet
     require(shared.isEmpty, s"column names collide across sides: $shared")
-    val ea = a.withColumn("__cell", explode(
-      st_tiles_for_bounds(col(aMinx), col(aMiny), col(aMaxx), col(aMaxy), lit(z))))
-    val eb = b.withColumn("__cell", explode(
-      st_tiles_for_bounds(col(bMinx), col(bMiny), col(bMaxx), col(bMaxy), lit(z))))
+    val zz = if (z >= 0) z
+      else math.max(Knn.zoomForPlan(a), Knn.zoomForPlan(b))
+
+    val zaCol = st_cover_zoom(col(aMinx), col(aMiny), col(aMaxx), col(aMaxy),
+      lit(zz), lit(cap))
+    val zbCol = st_cover_zoom(col(bMinx), col(bMiny), col(bMaxx), col(bMaxy),
+      lit(zz), lit(cap))
+    val usedA = usedLevels(a, zaCol)
+    val usedB = usedLevels(b, zbCol)
+
+    // a row's emission levels: min(own zoom, each level the OTHER side
+    // uses) — covers shrink 4× per coarser step, so the row total is
+    // ≤ cap + cap/16 + … even when the other side spans every level
+    def levelsFor(own: org.apache.spark.sql.Column, other: Array[Int]) =
+      array_distinct(transform(typedLit(other), o => least(own, o)))
+
+    val ea = a.withColumn("__za", zaCol)
+      .withColumn("__cell", explode(st_cover_at_levels(
+        col(aMinx), col(aMiny), col(aMaxx), col(aMaxy),
+        levelsFor(col("__za"), usedB))))
+    val eb = b.withColumn("__zb", zbCol)
+      .withColumn("__cell", explode(st_cover_at_levels(
+        col(bMinx), col(bMiny), col(bMaxx), col(bMaxy),
+        levelsFor(col("__zb"), usedA))))
+
     val overlap =
       col(aMinx) <= col(bMaxx) && col(bMinx) <= col(aMaxx) &&
       col(aMiny) <= col(bMaxy) && col(bMiny) <= col(aMaxy)
     val reportingCell = st_cell_at(
-      greatest(col(aMinx), col(bMinx)), least(col(aMaxy), col(bMaxy)), lit(z))
+      greatest(col(aMinx), col(bMinx)), least(col(aMaxy), col(bMaxy)),
+      least(col("__za"), col("__zb")))
     ea.join(eb, Seq("__cell"), "inner")
       .filter(overlap && col("__cell") === reportingCell)
       .select((a.columns.map(col) ++ b.columns.map(col)).toIndexedSeq: _*)

@@ -188,7 +188,7 @@ class OperatorsSpec extends AnyFunSuite {
       "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
     saved.foreach { case (k, _) => conf.set(k, "-1") }
     try {
-      val got = SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly", z = 5)
+      val got = SpatialJoin.pipJoin(pts, "lon", "lat", regions, "region_id", "poly", z = 5)
         .select(col("pid"), col("region_id"))
       // the broadcast form (q03's plan) is the correctness reference
       val regB = regions.withColumn("cell5", explode(
@@ -211,7 +211,7 @@ class OperatorsSpec extends AnyFunSuite {
       case (k, None) => conf.unset(k)
     }
     // derived-zoom entry point also runs (bounded footer sampling)
-    assert(SpatialJoin.pipJoin(pts, "lon", "lat", regions, "poly").limit(1).count() >= 0)
+    assert(SpatialJoin.pipJoin(pts, "lon", "lat", regions, "region_id", "poly").limit(1).count() >= 0)
   }
 
   test("distance join: exact pairs vs naive cross, pair-unique, disc-cover replication") {
@@ -961,7 +961,7 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val input = MemoryStream[(Long, Double, Double)]
     val sdf = input.toDF().toDF("pid", "lon", "lat")
-    val out = SpatialJoin.pipJoin(sdf, "lon", "lat", regions, "poly", z = 5)
+    val out = SpatialJoin.pipJoin(sdf, "lon", "lat", regions, "region_id", "poly", z = 5)
       .select(col("pid"), col("region_id"))
     val q = out.writeStream.format("memory").queryName("pip_stream")
       .outputMode("append").start()
@@ -971,7 +971,7 @@ class OperatorsSpec extends AnyFunSuite {
     } finally q.stop()
     val streamed = spark.table("pip_stream")
     val batch = SpatialJoin.pipJoin(
-        pts.toSeq.toDF("pid", "lon", "lat"), "lon", "lat", regions, "poly", z = 5)
+        pts.toSeq.toDF("pid", "lon", "lat"), "lon", "lat", regions, "region_id", "poly", z = 5)
       .select(col("pid"), col("region_id"))
     assert(batch.count() > 0, "vacuous: no point landed in a region")
     assert(streamed.exceptAll(batch).count() == 0 &&
