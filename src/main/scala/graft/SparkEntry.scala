@@ -1573,19 +1573,23 @@ object SparkEntry {
       "SELECT doc, word, tf, df, score, rk FROM r WHERE rk <= 5"),
 
     // percentile_disc semantics spelled out as rank arithmetic so both
-    // engines run the IDENTICAL definition (value at rank ceil(q*n))
+    // engines run the IDENTICAL definition: rank ⌈q·n⌉ in INTEGER form
+    // (qn = q·10⁶; (qn·n + 10⁶−1) // 10⁶) — float ceil(q*n) is off by one
+    // exactly when q·n is an integer the product rounds up (0.01·300)
     "q57_quantiles" ->
       ("WITH c AS (SELECT source, n_chars, doc_id, " +
       "row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn, " +
       "count(*) OVER (PARTITION BY source) AS n FROM documents), " +
-      "q AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q) " +
+      "q AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS q, " +
+      "unnest([250000, 500000, 750000, 950000]) AS qn) " +
       "SELECT c.source, q.q, c.n_chars AS value FROM c, q " +
-      "WHERE c.rn = greatest(1, CAST(ceil(q.q * c.n) AS BIGINT))"),
+      "WHERE c.rn = greatest(1, (q.qn * c.n + 999999) // 1000000)"),
 
-    // MINSTD keep-set: all arithmetic below 2^63 in both engines
+    // MINSTD keep-set: all arithmetic below 2^63 in both engines; the id
+    // is reduced with a sign-safe pmod (negative ids hash like Spark's)
     "q58_hash_sample" ->
       ("SELECT doc_id, source, n_chars FROM documents " +
-      "WHERE ((doc_id % 2147483647) * 48271 % 2147483647) % 1000 < 250"),
+      "WHERE ((doc_id % 2147483647 + 2147483647) % 2147483647) * 48271 % 2147483647 % 1000 < 250"),
 
     // multiply-before-divide + round-half-away pinned on both sides
     "q59_quantize_int8" ->

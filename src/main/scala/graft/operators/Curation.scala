@@ -65,13 +65,22 @@ object Curation {
     * boilerplate discovery: a term with huge df is boilerplate, a doc
     * whose top terms all score low is generic).
     *
-    * Scoring uses the rational idf form `tf · (N+1)/(df+1)` instead of
-    * the log form: same ranking (log is monotone), but every step —
-    * integer counts, one double multiply, one double divide — is
-    * correctly-rounded IEEE-754 and therefore bit-reproducible across
-    * engines (the DuckDB oracle matches the score column exactly; `ln`
-    * implementations differ in ULPs across libms and would break the
-    * hash gate and cross-run determinism).
+    * Scoring is the PINNED rational form `tf · (N+1)/(df+1)` — this
+    * operator's own scoring definition, not a bit-for-bit stand-in for
+    * log-idf. At equal tf the term ranking matches log-idf (both idfs are
+    * monotone decreasing in df), but across different tf values the
+    * products can order differently (tf=2,df=N vs tf=1,df=N/2 can swap).
+    * The rational form is chosen because every step — integer counts, one
+    * double multiply, one double divide — is correctly-rounded IEEE-754
+    * and therefore bit-reproducible across engines (the DuckDB oracle
+    * matches the score column exactly; `ln` implementations differ in
+    * ULPs across libms and would break the hash gate and cross-run
+    * determinism).
+    *
+    * N (the corpus document count) comes from parquet footer metadata
+    * when the input is a bare parquet scan ([[graft.sources.Footers]]) —
+    * exact, driver-side, zero Spark jobs; other sources pay one count()
+    * job. N feeds the score, so an estimate would change results.
     *
     * Shuffle shape at corpus scale — ONE raw-text scan, three exchanges,
     * no join: (1) groupBy(doc, word) with map-side combine — the only
@@ -86,7 +95,7 @@ object Curation {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val nDocs = docs.count()
+    val nDocs = graft.sources.Footers.exactRowCount(docs).getOrElse(docs.count())
     val words = docs.select(col(idCol).as("doc"),
       explode(filter(split(lower(col(textCol)), "\\s+"),
         w => w =!= lit(""))).as("word"))
@@ -109,17 +118,28 @@ object Curation {
     * rank filter keeps n·|qs| rows from becoming n·|qs| comparisons
     * anywhere downstream. `idCol` breaks value ties so the picked ROW is
     * deterministic (the picked VALUE is deterministic regardless).
+    *
+    * The rank is computed in INTEGER arithmetic: q is taken at 6-decimal
+    * precision (qn = round(q·10⁶), exact for any percentile anyone writes)
+    * and rank = (qn·n + 10⁶−1) div 10⁶ ≡ ⌈q·n⌉ with no float rounding —
+    * `ceil(q * n)` in doubles picks rank 4 for q=0.01, n=300 because
+    * 0.01·300 = 3.0000000000000004 (round-5 advice). n must stay below
+    * ~9.2·10¹² so qn·n fits int64 — comfortably past the design point.
     */
   def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
                      idCol: String, qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val qPairs = qs.map(q => (q, math.round(q * 1000000L.toDouble)))
     val w = Window.partitionBy(col(keyCol)).orderBy(col(valCol).asc, col(idCol).asc)
+    val rank = greatest(lit(1L), call_function("div",
+      col("__q.qn") * col("n") + lit(999999L), lit(1000000L)))
     df.select(col(keyCol), col(valCol), col(idCol))
       .withColumn("rn", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col(keyCol))).cast("long"))
-      .withColumn("q", explode(array(qs.map(lit): _*)))
-      .filter(col("rn") === greatest(lit(1L), ceil(col("q") * col("n")).cast("long")))
-      .select(col(keyCol), col("q"), col(valCol).as("value"))
+      .withColumn("__q", explode(array(qPairs.map { case (q, qn) =>
+        struct(lit(q).as("q"), lit(qn).as("qn")) }: _*)))
+      .filter(col("rn") === rank)
+      .select(col(keyCol), col("__q.q").as("q"), col(valCol).as("value"))
   }
 
   /** Deterministic hash sampling: keep ~`fraction` of rows chosen by a
@@ -130,11 +150,16 @@ object Curation {
     * correlated tables stay aligned on the shared key. Map-only.
     * All arithmetic stays below 2⁶³ (id is reduced mod the Mersenne
     * prime first), so the same expression runs overflow-free in SQL.
+    *
+    * The id reduction uses pmod, not %: Spark's % keeps the sign of a
+    * negative id, which made every negative id hash negative and pass
+    * `< keep` at ANY fraction — including 0.0 (round-5 advice). After
+    * pmod the value is in [0, p) and the remaining ops stay non-negative.
     */
   def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"bad fraction $fraction")
     val p = 2147483647L // 2^31 - 1
     val keep = math.round(fraction * 1000).toInt
-    df.filter((col(idCol) % p) * 48271L % p % 1000L < keep)
+    df.filter(pmod(col(idCol), lit(p)) * 48271L % p % 1000L < keep)
   }
 }

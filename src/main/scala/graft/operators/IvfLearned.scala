@@ -78,7 +78,10 @@ object IvfLearned {
           maxCentroids: Int = 1024): IvfModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val n = corpus.count()
+    // N decides kC = ⌈√N⌉ and the sample cap; parquet footer metadata
+    // gives it exactly with zero Spark jobs (count() only off-parquet) —
+    // the fit now scans the corpus ONCE (the sample top-k), not twice
+    val n = graft.sources.Footers.exactRowCount(corpus).getOrElse(corpus.count())
     val kC = nCentroidsFor(n, maxCentroids)
     val sCap = sampleCapFor(n, kC)
     val sampRows: Array[(Long, Array[Double])] = corpus
