@@ -837,6 +837,22 @@ object SparkEntry {
       graft.operators.AsOf.asofJoin(l, r, "user_id", "ts", rightTieCol = "view_id")
         .filter(col("view_id").isNotNull)
         .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
+    }),
+
+    "q62_asof_lookback" -> ((s, dir) => {
+      // bounded-lookback as-of: the latest view within 24 h before the
+      // click, else NULLs (feature-freshness semantics — a stale feature
+      // must read as missing). Same single key shuffle as q61; horizon
+      // compared in exact int64 microseconds (unix_micros / epoch_us).
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val l = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsOf.asofJoinWithin(l, r, "user_id", "ts",
+          rightTieCol = "view_id", horizon = 86400000000L)
+        .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
     })
   )
 
@@ -1621,6 +1637,19 @@ object SparkEntry {
       "SELECT l.event_id, l.user_id, m.view_id, m.view_value FROM l, LATERAL (" +
       "SELECT view_id, view_value FROM r " +
       "WHERE r.user_id = l.user_id AND r.rts <= l.ts " +
-      "ORDER BY r.rts DESC, view_id DESC LIMIT 1) m")
+      "ORDER BY r.rts DESC, view_id DESC LIMIT 1) m"),
+
+    // the lookback rule replayed as LEFT LATERAL with the horizon in the
+    // predicate: latest-overall-then-null and latest-in-horizon agree
+    // because the latest match is in-horizon iff any match is
+    "q62_asof_lookback" ->
+      ("WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), " +
+      "r AS (SELECT user_id, ts AS rts, event_id AS view_id, value AS view_value " +
+      "FROM events WHERE event_type = 'view') " +
+      "SELECT l.event_id, l.user_id, m.view_id, m.view_value FROM l LEFT JOIN LATERAL (" +
+      "SELECT view_id, view_value FROM r " +
+      "WHERE r.user_id = l.user_id AND r.rts <= l.ts " +
+      "AND epoch_us(l.ts) - epoch_us(r.rts) <= 86400000000 " +
+      "ORDER BY r.rts DESC, view_id DESC LIMIT 1) m ON TRUE")
   )
 }

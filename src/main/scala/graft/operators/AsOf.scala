@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** As-of (point-in-time) join — for each left row, the LATEST right row
   * with the same key and `time` ≤ the left row's time. The classic
@@ -32,7 +33,47 @@ import org.apache.spark.sql.expressions.Window
 object AsOf {
 
   def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
-               timeCol: String, rightTieCol: String): DataFrame = {
+               timeCol: String, rightTieCol: String): DataFrame =
+    asofCore(left, right, keyCol, timeCol, rightTieCol, horizonMicros = None)
+
+  /** Bounded-lookback as-of join: the latest right row with
+    * `left.time − horizon ≤ right.time ≤ left.time` — real feature-store
+    * semantics (a feature older than the freshness horizon must read as
+    * MISSING, not silently stale). Same tie rules, same SINGLE key
+    * shuffle: the sweep carries the matched row's time alongside its
+    * payload, and one more window-free predicate nulls matches outside
+    * the horizon — the latest-overall match is in-horizon iff ANY match
+    * is, so no second lookback is needed.
+    *
+    * `horizon` is in MICROSECONDS for timestamp time columns (compared
+    * via `unix_micros` — exact int64, no float epoch rounding) and in the
+    * column's own units for numeric ones. horizon ≥ 0; 0 keeps only
+    * exact-time matches.
+    */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, keyCol: String,
+                     timeCol: String, rightTieCol: String,
+                     horizon: Long): DataFrame = {
+    require(horizon >= 0, s"horizon must be >= 0, got $horizon")
+    asofCore(left, right, keyCol, timeCol, rightTieCol, Some(horizon))
+  }
+
+  /** time as an exactly-comparable int64/numeric column: timestamps via
+    * unix_micros (int64 microseconds — DuckDB's epoch_us is the lockstep
+    * twin), numerics as-is.
+    */
+  private def timeNum(df: DataFrame, timeCol: String): Column =
+    df.schema(timeCol).dataType match {
+      // NTZ (how parquet timestamps without UTC adjustment read in Spark 4)
+      // casts through TimestampType first; the session-zone offset is the
+      // same constant on both sides, so the SUBTRACTION is still exact
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(timeCol).cast(TimestampType))
+      case _ => col(timeCol)
+    }
+
+  private def asofCore(left: DataFrame, right: DataFrame, keyCol: String,
+                       timeCol: String, rightTieCol: String,
+                       horizonMicros: Option[Long]): DataFrame = {
     val lPay = left.columns.filterNot(c => c == keyCol || c == timeCol)
     val rPay = right.columns.filterNot(c => c == keyCol || c == timeCol)
     val shared = lPay.toSet intersect rPay.toSet
@@ -42,12 +83,14 @@ object AsOf {
 
     val rStruct = struct(rPay.map(col).toIndexedSeq: _*)
     val r = right.select(col(keyCol), col(timeCol), lit(0).as("__side"),
-      col(rightTieCol).cast("long").as("__tie"), rStruct.as("__rpay"))
+      col(rightTieCol).cast("long").as("__tie"),
+      timeNum(right, timeCol).as("__rtime"), rStruct.as("__rpay"))
     val lStruct = struct(lPay.map(col).toIndexedSeq: _*)
     val rPayType = r.schema("__rpay").dataType
+    val rtType = r.schema("__rtime").dataType
     val l = left.select(col(keyCol), col(timeCol), lit(1).as("__side"),
-      lit(null).cast("long").as("__tie"), lit(null).cast(rPayType).as("__rpay"),
-      lStruct.as("__lpay"))
+      lit(null).cast("long").as("__tie"), lit(null).cast(rtType).as("__rtime"),
+      lit(null).cast(rPayType).as("__rpay"), lStruct.as("__lpay"))
     val rAligned = r.withColumn("__lpay",
       lit(null).cast(l.schema("__lpay").dataType))
 
@@ -57,9 +100,21 @@ object AsOf {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol).asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rAligned.unionByName(l)
+    val swept = rAligned.unionByName(l)
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .withColumn("__mtime", last(col("__rtime"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+
+    // horizon: the latest match's time rides the sweep; a stale match
+    // reads as no match (all payload columns null, like the outer form)
+    val matched = horizonMicros match {
+      case None => swept
+      case Some(h) =>
+        val fresh = col("__mtime").isNotNull &&
+          timeNum(left, timeCol) - col("__mtime") <= h
+        swept.withColumn("__match",
+          when(fresh, col("__match")).otherwise(lit(null).cast(rPayType)))
+    }
 
     val outCols =
       col(keyCol) +: col(timeCol) +:

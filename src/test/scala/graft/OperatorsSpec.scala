@@ -1054,6 +1054,49 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected exactly one exchange:\n$plan")
   }
 
+  test("bounded-lookback as-of: horizon boundary inclusive, stale -> nulls, ties, one shuffle") {
+    import spark.implicits._
+    val l = Seq((100L, 1L, 100L), (101L, 1L, 200L), (102L, 2L, 50L))
+      .toDF("event_id", "user_id", "t")
+    val r = Seq(
+      (900L, 1L, 90L, 1.0),   // gap 10 from click 100 — in a horizon of 10 (inclusive)
+      (901L, 1L, 90L, 2.0),   // same (user, t): larger view_id wins the tie
+      (902L, 1L, 189L, 3.0),  // gap 11 from click 101 — just OUTSIDE horizon 10
+      (903L, 2L, 49L, 4.0)    // gap 1 from click 102 — fresh
+    ).toDF("view_id", "user_id", "t", "view_value")
+      .select(col("user_id"), col("t"), col("view_id"), col("view_value"))
+    val out = AsOf.asofJoinWithin(l, r, "user_id", "t", rightTieCol = "view_id",
+      horizon = 10L)
+    val got = out.collect().map(x => x.getAs[Long]("event_id") ->
+      (Option(x.getAs[java.lang.Long]("view_id")).map(_.toLong),
+       Option(x.getAs[java.lang.Double]("view_value")).map(_.toDouble))).toMap
+    assert(got(100L) == ((Some(901L), Some(2.0))),
+      s"boundary gap == horizon must match, ties by view_id: ${got(100L)}")
+    assert(got(101L) == ((None, None)),
+      s"gap horizon+1 must read as missing, not stale: ${got(101L)}")
+    assert(got(102L) == ((Some(903L), Some(4.0))))
+    // horizon 0 keeps only exact-time matches
+    val r0 = Seq((1L, 100L, 900L, 1.0)).toDF("user_id", "t", "view_id", "view_value")
+    val h0 = AsOf.asofJoinWithin(l, r0, "user_id", "t", "view_id", horizon = 0L)
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Long]("view_id")).map(_.toLong)).toMap
+    assert(h0(100L).contains(900L) && h0(101L).isEmpty)
+    // still the union-window shape: ONE exchange, NO join operator
+    out.count()
+    val plan2 = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan2.toLowerCase.contains("join"), s"lookback as-of must not plan a join:\n$plan2")
+    assert("Exchange hashpartitioning".r.findAllIn(plan2).size == 1,
+      s"expected exactly one exchange:\n$plan2")
+    // timestamp time column: horizon in microseconds via unix_micros
+    val lt = l.withColumn("t", timestamp_micros(col("t") * 1000000L))
+    val rt = r.withColumn("t", timestamp_micros(col("t") * 1000000L))
+    val gt = AsOf.asofJoinWithin(lt, rt, "user_id", "t", "view_id",
+        horizon = 10000000L) // 10 s
+      .collect().map(x => x.getAs[Long]("event_id") ->
+        Option(x.getAs[java.lang.Long]("view_id")).map(_.toLong)).toMap
+    assert(gt(100L).contains(901L) && gt(101L).isEmpty && gt(102L).contains(903L))
+  }
+
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
     import spark.implicits._
     // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
