@@ -24,9 +24,13 @@ object Dedup {
     * signature/shingle/bucket kernels and the raw-text scan run TWICE
     * per operator — the dominant cost at corpus scale. Same policy as
     * Knn.materialize: MEMORY_AND_DISK (explicit spill, no recompute).
+    * Every persist is registered with [[CacheBin]]; the CALLER releases
+    * the blocks with `CacheBin.drain()` after its consuming action
+    * (round-5 advice: MEMORY_AND_DISK blocks are not LRU-evicted and
+    * leaked across a long-lived session otherwise).
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheBin.track(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** exact dedup: (text_md5, keeper_id, n_copies, dup_ids). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -156,11 +160,22 @@ object Dedup {
     * bucket with 4096+ distinct near-identical docs — i.e. the exact
     * boilerplate flood the cap exists to survive. Set
     * `maxBucket = Int.MaxValue` for loss-free (unbounded-state) matching.
+    *
+    * SEEING cap-loss (round-5 verdict #8): pass `dropCounter` (a
+    * registered LongAccumulator) and every drop increments it as it
+    * happens — the operational signal a production run watches/alerts
+    * on, visible without reading any bucket state. Accumulator counts
+    * are at-least-once under micro-batch retry (Spark replays the state
+    * function); the AUTHORITATIVE per-bucket tally remains
+    * `BucketState.dropped`, which is exactly-once because it rides the
+    * checkpointed state.
     */
   def nearDupPairsStreaming(docs: DataFrame, idCol: String, textCol: String,
                             bands: Int = 4, rowsPerBand: Int = 4,
                             threshold: Double = 0.5,
-                            maxBucket: Int = 4096): Dataset[StreamPair] = {
+                            maxBucket: Int = 4096,
+                            dropCounter: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[StreamPair] = {
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val spark = docs.sparkSession
     import spark.implicits._
@@ -196,7 +211,7 @@ object Dedup {
                 }
               }
               if (known.length < maxBucket) known = (a.doc, a.sig) :: known
-              else dropped += 1
+              else { dropped += 1; dropCounter.foreach(_.add(1L)) }
             }
           }
           state.update(BucketState(known, dropped))

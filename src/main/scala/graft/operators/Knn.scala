@@ -184,7 +184,10 @@ object Knn {
     * on the headline kNN (384 s vs 74 s, local[32], 4.8M points).
     */
   private def materialize(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // registered with CacheBin: the CALLER drains after its action —
+    // MEMORY_AND_DISK blocks are not LRU-evicted and would otherwise
+    // accumulate across a long-lived session (round-5 advice)
+    CacheBin.track(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** exact brute force for a (small, broadcast) query set. Queries may
     * carry `bound_d2`: an upper bound on the true kth-neighbor distance²

@@ -102,10 +102,40 @@ object TileStream {
     * only temp garbage (swept on the next attempt's epoch replay), never a
     * truncated tile at a final key — and two racing attempts (speculation,
     * zombie retry) each own a distinct temp file instead of fighting over
-    * one HDFS lease; last rename wins with identical bytes. The epoch is
-    * readable iff its `_EPOCH_COMMIT` marker exists, written by the
-    * driver only after every task finished.
+    * one HDFS lease. delete-then-rename is NOT atomic and HDFS rename
+    * returns false onto an existing destination, so a losing racer's
+    * rename CAN fail — that is treated as idempotent success when the
+    * destination already holds a tile of the expected length (the bytes
+    * at a key are a pure function of (epoch, z, x, y), so whoever won
+    * wrote the same tile); only a missing/short destination errors into
+    * task retry (round-5 advice: the old code failed the losing attempt
+    * unconditionally). The epoch is readable iff its `_EPOCH_COMMIT`
+    * marker exists, written by the driver only after every task finished.
     */
+  /** rename tmp → fin, adopting a racer's win: when rename returns false
+    * (HDFS does onto an existing destination; delete-then-rename is not
+    * atomic) but the destination already holds `expectedLen` bytes, the
+    * identical tile landed first — idempotent success. A missing or
+    * short destination is a real failure and errors into task retry.
+    */
+  private[graft] def renameOrAdopt(fs: org.apache.hadoop.fs.FileSystem,
+                                       tmp: org.apache.hadoop.fs.Path,
+                                       fin: org.apache.hadoop.fs.Path,
+                                       expectedLen: Long): Unit = {
+    // stores disagree on HOW rename fails (HDFS returns false, the local
+    // FS throws on a vanished source) — both routes land in the adopt
+    // check, which alone decides success
+    val renamed = try fs.rename(tmp, fin) catch { case _: java.io.IOException => false }
+    if (!renamed) {
+      val winner =
+        try fs.getFileStatus(fin).getLen == expectedLen
+        catch { case _: java.io.FileNotFoundException => false }
+      fs.delete(tmp, false)
+      if (!winner)
+        sys.error(s"rename $tmp -> $fin failed with no committed tile at the destination")
+    }
+  }
+
   def writeEpoch(tiles: DataFrame, outDir: String, epoch: Long): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       tiles.sparkSession.sessionState.newHadoopConf())
@@ -120,12 +150,12 @@ object TileStream {
           val tmp = new org.apache.hadoop.fs.Path(
             s"$epochDir/_tmp/$attempt-${r.getInt(0)}-${r.getLong(1)}-${r.getLong(2)}")
           if (fs == null) fs = fin.getFileSystem(conf.value)
+          val bytes = r.getAs[Array[Byte]]("mvt")
           val out = fs.create(tmp, /*overwrite=*/ true)
-          try out.write(r.getAs[Array[Byte]]("mvt")) finally out.close()
+          try out.write(bytes) finally out.close()
           fs.mkdirs(fin.getParent)
           fs.delete(fin, false) // rename is no-overwrite on some stores
-          if (!fs.rename(tmp, fin))
-            sys.error(s"rename $tmp -> $fin failed")
+          renameOrAdopt(fs, tmp, fin, bytes.length.toLong)
         }
     }
     // all tasks done: sweep temp debris and commit the epoch atomically

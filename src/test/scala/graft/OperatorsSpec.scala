@@ -435,7 +435,11 @@ class OperatorsSpec extends AnyFunSuite {
     // in the capping bucket; see nearDupPairsStreaming's contract)
     val input = MemoryStream[(Long, String)]
     val sdf = input.toDF().toDF("doc_id", "text")
-    val q = Dedup.nearDupPairsStreaming(sdf, "doc_id", "text", maxBucket = 1)
+    // the drop counter surfaces cap-loss AS IT HAPPENS (round-5 verdict:
+    // BucketState.dropped was tracked but invisible to a running job)
+    val drops = spark.sparkContext.longAccumulator("neardup_drops")
+    val q = Dedup.nearDupPairsStreaming(sdf, "doc_id", "text", maxBucket = 1,
+        dropCounter = Some(drops))
       .writeStream.format("memory").queryName("neardup_capped")
       .outputMode("append").start()
     val txt = "alpha beta gamma delta epsilon zeta eta theta"
@@ -444,6 +448,10 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = spark.sql("SELECT doc_a, doc_b FROM neardup_capped").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L)))
+    // identical docs share all 4 buckets; doc 1 fills each cap-1 bucket,
+    // so docs 2 and 3 drop from all 4 -> 8 counted drops
+    assert(drops.value == 8L,
+      s"expected 8 surfaced drops (2 docs x 4 capped buckets), got ${drops.value}")
   }
 
   test("raster vectorize: rectangles cover exactly the occupied pixel set") {
@@ -890,6 +898,25 @@ class OperatorsSpec extends AnyFunSuite {
     val finalPlan = plan.split("== Initial Plan ==")(0)
     val explodes = "Generate explode".r.findAllIn(finalPlan).size
     assert(explodes == 1, s"expected 1 token explode, plan has $explodes:\n$finalPlan")
+  }
+
+  test("operator persists are caller-released via CacheBin (no leak across invocations)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    CacheBin.drain() // clean slate (other tests may have pending persists)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.nearDupPairs(docs, "doc_id", "text").count()
+    assert(CacheBin.pending > 0, "materialize must register with CacheBin")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.nonEmpty, "vacuous: the operator cached nothing")
+    assert(CacheBin.drain() > 0)
+    assert(CacheBin.pending == 0)
+    // unpersist(blocking=false): poll until the block manager catches up
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while ((spark.sparkContext.getPersistentRDDs.keySet intersect leaked).nonEmpty
+           && System.nanoTime() < deadline) Thread.sleep(100)
+    assert((spark.sparkContext.getPersistentRDDs.keySet intersect leaked).isEmpty,
+      "drained persists must leave the block manager")
   }
 
   test("footer row counts: exact, job-free for bare parquet scans; safe fallbacks") {

@@ -167,4 +167,34 @@ class TileStreamSpec extends AnyFunSuite {
         r.getAs[Array[Byte]]("mvt").toSeq)).toMap
     assert(first == want)
   }
+
+  test("renameOrAdopt: losing racer adopts an identical committed tile, errors otherwise") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("adopt").toString
+    val fin = new Path(s"$dir/7/3/5.mvt")
+    val fs = fin.getFileSystem(spark.sessionState.newHadoopConf())
+    // a racer already committed the identical 4-byte tile; our tmp is
+    // gone (rename returns false) -> idempotent success, no throw
+    fs.mkdirs(fin.getParent)
+    val out = fs.create(fin, true); out.write(Array[Byte](1, 2, 3, 4)); out.close()
+    graft.streaming.TileStream.renameOrAdopt(
+      fs, new Path(s"$dir/_tmp/gone"), fin, expectedLen = 4L)
+    assert(fs.getFileStatus(fin).getLen == 4L)
+    // wrong length at the destination = NOT our tile -> task failure
+    intercept[RuntimeException] {
+      graft.streaming.TileStream.renameOrAdopt(
+        fs, new Path(s"$dir/_tmp/gone2"), fin, expectedLen = 9L)
+    }
+    // no committed tile at all -> task failure
+    intercept[RuntimeException] {
+      graft.streaming.TileStream.renameOrAdopt(
+        fs, new Path(s"$dir/_tmp/gone3"), new Path(s"$dir/7/3/9.mvt"), expectedLen = 4L)
+    }
+    // the normal path still renames
+    val tmp = new Path(s"$dir/_tmp/t1")
+    val o2 = fs.create(tmp, true); o2.write(Array[Byte](9, 9)); o2.close()
+    val fin2 = new Path(s"$dir/7/3/6.mvt")
+    graft.streaming.TileStream.renameOrAdopt(fs, tmp, fin2, expectedLen = 2L)
+    assert(fs.getFileStatus(fin2).getLen == 2L && !fs.exists(tmp))
+  }
 }
