@@ -112,4 +112,23 @@ class IvfLearnedSpec extends AnyFunSuite {
     // the query's own cluster's list(s); require a high floor
     assert(recall >= 0.9, s"recall@5 = $recall below floor (got=${got.size}, want=${want.size})")
   }
+
+  test("distributed fit is bit-identical to the driver fit (defined reduction order)") {
+    // round-5 verdict #4: the driver loop caps at 1024 centroids because
+    // the whole sample collects; the distributed fit runs assignment +
+    // ordered per-cid sums on the cluster and must land every float on
+    // the SAME bits (same sample, same init rows, same left folds)
+    for ((n, cap) <- Seq((400, 16), (1500, 64))) {
+      val corpus = clustered(n)
+      val a = IvfLearned.fit(corpus, Dim, iters = 3, maxCentroids = cap)
+      val b = IvfLearned.fitDistributed(corpus, Dim, iters = 3, maxCentroids = cap)
+      assert(a.k == b.k)
+      for (j <- 0 until a.k; i <- 0 until Dim) {
+        assert(java.lang.Double.doubleToRawLongBits(a.centroids(j)(i)) ==
+               java.lang.Double.doubleToRawLongBits(b.centroids(j)(i)),
+          s"centroid ($j,$i): driver ${a.centroids(j)(i)} vs distributed ${b.centroids(j)(i)}")
+      }
+      graft.operators.CacheBin.drain()
+    }
+  }
 }
