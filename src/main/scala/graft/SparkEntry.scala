@@ -853,6 +853,35 @@ object SparkEntry {
       graft.operators.AsOf.asofJoinWithin(l, r, "user_id", "ts",
           rightTieCol = "view_id", horizon = 86400000000L)
         .select(col("event_id"), col("user_id"), col("view_id"), col("view_value"))
+    }),
+
+    "q63_project_lcc" -> ((s, dir) => {
+      // arbitrary-CRS forward projection (state-plane LCC 2SP, EPSG:2263,
+      // US survey feet) — the Grid{Srid} family beyond the reference's
+      // four vendored proj codes (core/Proj.scala). Map-only; ftUS
+      // rounded to 1e-3 (q32's mm-grid ULP-absorption pattern).
+      Synth.points(s, dir)
+        .withColumn("pp", st_project(col("lon"), col("lat"), 2263))
+        .select(col("pid"), round(col("pp.x"), 3).as("easting_ft"),
+          round(col("pp.y"), 3).as("northing_ft"))
+    }),
+
+    "q64_seq_pack" -> ((s, dir) => {
+      // sequence packing (concat-and-chunk) into capacity-2048 training
+      // windows over 8 hash shards — one per-shard cumulative-sum shuffle
+      graft.operators.Curation.packSequences(
+        docsT(s, dir), "doc_id", "n_chars", capacity = 2048L, numShards = 8)
+    }),
+
+    "q65_mixture" -> ((s, dir) => {
+      // domain-mixture resampling to an exact 4:3:2:1 target over four
+      // sources — per-domain keep counts computed in-plan, smallest
+      // MINSTD id hashes kept (deterministic across engines/runs)
+      graft.operators.Curation.mixtureSample(
+        docsT(s, dir).filter(col("source").isin("src0", "src1", "src2", "src3")),
+        "source", "doc_id",
+        Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
+        .select(col("doc_id"), col("source"), col("keep_n"))
     })
   )
 
@@ -1650,6 +1679,63 @@ object SparkEntry {
       "SELECT view_id, view_value FROM r " +
       "WHERE r.user_id = l.user_id AND r.rts <= l.ts " +
       "AND epoch_us(l.ts) - epoch_us(r.rts) <= 86400000000 " +
-      "ORDER BY r.rts DESC, view_id DESC LIMIT 1) m ON TRUE")
+      "ORDER BY r.rts DESC, view_id DESC LIMIT 1) m ON TRUE"),
+
+    // LCC 2SP (EPSG:2263) forward, constants and per-row math in the same
+    // expression shapes as core/Proj.scala (EPSG GN7-2 method 9802); the
+    // 1e-3 ftUS rounding absorbs cross-libm transcendental ULPs (q32
+    // pattern). tsfn(φ) = tan(0.5(π/2−φ)) / ((1−e·sinφ)/(1+e·sinφ))^(e/2).
+    "q63_project_lcc" ->
+      (s"WITH $P, " +
+      "c0 AS (SELECT 1.0/298.257222101 AS f, 6378137.0/(1200.0/3937.0) AS a_u, " +
+      "(40.0 + 40.0/60.0) * pi() / 180.0 AS phi1, (41.0 + 2.0/60.0) * pi() / 180.0 AS phi2, " +
+      "(40.0 + 10.0/60.0) * pi() / 180.0 AS phi0, -74.0 * pi() / 180.0 AS lam0), " +
+      "c1 AS (SELECT *, f*(2.0-f) AS es, sqrt(f*(2.0-f)) AS e FROM c0), " +
+      "c2 AS (SELECT *, " +
+      "cos(phi1)/sqrt(1.0 - es*sin(phi1)*sin(phi1)) AS m1, " +
+      "cos(phi2)/sqrt(1.0 - es*sin(phi2)*sin(phi2)) AS m2, " +
+      "tan(0.5*(pi()/2.0 - phi1))/pow((1.0 - e*sin(phi1))/(1.0 + e*sin(phi1)), 0.5*e) AS t1, " +
+      "tan(0.5*(pi()/2.0 - phi2))/pow((1.0 - e*sin(phi2))/(1.0 + e*sin(phi2)), 0.5*e) AS t2, " +
+      "tan(0.5*(pi()/2.0 - phi0))/pow((1.0 - e*sin(phi0))/(1.0 + e*sin(phi0)), 0.5*e) AS t0 " +
+      "FROM c1), " +
+      "c3 AS (SELECT *, (ln(m1) - ln(m2))/(ln(t1) - ln(t2)) AS n FROM c2), " +
+      "c4 AS (SELECT *, m1/(n*pow(t1, n)) AS bigf FROM c3), " +
+      "c AS (SELECT *, a_u*bigf*pow(t0, n) AS r0 FROM c4), " +
+      "g AS (SELECT pid, lat * pi() / 180.0 AS phi, lon * pi() / 180.0 AS lam FROM pts), " +
+      "h AS (SELECT pid, a_u*bigf*pow(" +
+      "tan(0.5*(pi()/2.0 - phi))/pow((1.0 - e*sin(phi))/(1.0 + e*sin(phi)), 0.5*e), n) AS r, " +
+      "n*(lam - lam0) AS theta, r0 FROM g, c) " +
+      "SELECT pid, round(984250.0 + r*sin(theta), 3) AS easting_ft, " +
+      "round(r0 - r*cos(theta), 3) AS northing_ft FROM h"),
+
+    // concat-and-chunk packing: int64-only arithmetic, same MINSTD shard
+    // recurrence as q58; SUM window cast back to BIGINT (DuckDB widens to
+    // HUGEINT)
+    "q64_seq_pack" ->
+      ("WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len, " +
+      "(doc_id % 2147483647) * 48271 % 2147483647 % 8 AS shard FROM documents), " +
+      "w AS (SELECT doc_id, shard, len, CAST(SUM(len) OVER (PARTITION BY shard " +
+      "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end FROM d) " +
+      "SELECT doc_id, shard, (cum_end - len) // 2048 AS bin, " +
+      "(cum_end - len) % 2048 AS bin_offset, " +
+      "((cum_end - len) % 2048 + len > 2048) AS straddles FROM w"),
+
+    // mixture resample to 4:3:2:1 (den = 10): T = min over domains of
+    // cnt*den//w, keep_n = w*T//den, keep the keep_n smallest MINSTD id
+    // hashes per domain — all integer, bit-exact
+    "q65_mixture" ->
+      ("WITH d AS (SELECT doc_id, source FROM documents " +
+      "WHERE source IN ('src0','src1','src2','src3')), " +
+      "wt AS (SELECT * FROM (VALUES ('src0', CAST(4 AS BIGINT)), ('src1', CAST(3 AS BIGINT)), " +
+      "('src2', CAST(2 AS BIGINT)), ('src3', CAST(1 AS BIGINT))) AS t(source, w)), " +
+      "cnt AS (SELECT source, COUNT(*) AS cnt FROM d GROUP BY source), " +
+      "caps0 AS (SELECT cnt.source, (cnt.cnt * 10) // wt.w AS t_cap, wt.w " +
+      "FROM cnt JOIN wt USING (source)), " +
+      "caps AS (SELECT source, CAST((w * (SELECT MIN(t_cap) FROM caps0)) // 10 AS BIGINT) AS keep_n " +
+      "FROM caps0), " +
+      "r AS (SELECT d.doc_id, d.source, caps.keep_n, ROW_NUMBER() OVER (" +
+      "PARTITION BY d.source ORDER BY (d.doc_id % 2147483647) * 48271 % 2147483647, d.doc_id) AS rk " +
+      "FROM d JOIN caps USING (source)) " +
+      "SELECT doc_id, source, keep_n FROM r WHERE rk <= keep_n")
   )
 }

@@ -72,9 +72,70 @@ object Projection {
     }
   }
 
+  /** wrap a core/Proj.scala forward/inverse pair as a Projection. */
+  private def of(srid0: Int)(fwd: (Double, Double) => Pt,
+                             inv: (Double, Double) => Pt): Projection = {
+    val s0 = srid0
+    new Projection {
+      val srid = s0
+      def forward(lon: Double, lat: Double): Pt = fwd(lon, lat)
+      def inverse(x: Double, y: Double): Pt = inv(x, y)
+    }
+  }
+
+  /** EPSG:3395 World Mercator — the reference's remaining proj code
+    * (vendored Convert.go:94), ellipsoidal forward/inverse.
+    */
+  val Epsg3395: Projection =
+    of(3395)(Proj.mercatorForward(Proj.WGS84, _, _), Proj.mercatorInverse(Proj.WGS84, _, _))
+
+  /** EPSG:4087 World Equidistant Cylindrical (vendored Convert.go:96). */
+  val Epsg4087: Projection =
+    of(4087)(Proj.eqcForward(Proj.WGS84, _, _), Proj.eqcInverse(Proj.WGS84, _, _))
+
+  /** Pinned beyond-reference CRSs (published EPSG parameters; see
+    * core/Proj.scala's datum note). Any other LCC/TM/Albers CRS is one
+    * `Proj.Lcc2SP/Tm/Aea` declaration away — these are the family's
+    * common representatives, not a closed list.
+    */
+  val Epsg2263: Projection = { // NAD83 / New York Long Island (ftUS)
+    val p = Proj.Lcc2SP(Proj.GRS80, 40.0 + 40.0 / 60.0, 41.0 + 2.0 / 60.0,
+      40.0 + 10.0 / 60.0, -74.0, 984250.0, 0.0, Proj.FtUs)
+    of(2263)(p.forward, p.inverse)
+  }
+  val Epsg2154: Projection = { // RGF93 / Lambert-93 (France)
+    val p = Proj.Lcc2SP(Proj.GRS80, 44.0, 49.0, 46.5, 3.0, 700000.0, 6600000.0)
+    of(2154)(p.forward, p.inverse)
+  }
+  val Epsg3347: Projection = { // NAD83 / Statistics Canada Lambert
+    val p = Proj.Lcc2SP(Proj.GRS80, 49.0, 77.0, 63.390675,
+      -(91.0 + 52.0 / 60.0), 6200000.0, 3000000.0)
+    of(3347)(p.forward, p.inverse)
+  }
+  val Epsg27700: Projection = { // OSGB36 / British National Grid
+    val p = Proj.Tm(Proj.Airy1830, 0.9996012717, 49.0, -2.0, 400000.0, -100000.0)
+    of(27700)(p.forward, p.inverse)
+  }
+  val Epsg5070: Projection = { // NAD83 / Conus Albers
+    val p = Proj.Aea(Proj.GRS80, 29.5, 45.5, 23.0, -96.0, 0.0, 0.0)
+    of(5070)(p.forward, p.inverse)
+  }
+  val Epsg3310: Projection = { // NAD83 / California Albers
+    val p = Proj.Aea(Proj.GRS80, 34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0)
+    of(3310)(p.forward, p.inverse)
+  }
+
   def forSrid(srid: Int): Option[Projection] = srid match {
     case 4326                           => Some(Epsg4326)
     case 3857                           => Some(Epsg3857)
+    case 3395                           => Some(Epsg3395)
+    case 4087                           => Some(Epsg4087)
+    case 2263                           => Some(Epsg2263)
+    case 2154                           => Some(Epsg2154)
+    case 3347                           => Some(Epsg3347)
+    case 27700                          => Some(Epsg27700)
+    case 5070                           => Some(Epsg5070)
+    case 3310                           => Some(Epsg3310)
     case s if s > 32600 && s <= 32660   => Some(utm(Utm.Zone(s - 32600, 'N')))
     case s if s > 32700 && s <= 32760   => Some(utm(Utm.Zone(s - 32700, 'M')))
     case _                              => None

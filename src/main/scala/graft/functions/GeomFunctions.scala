@@ -101,6 +101,12 @@ object GeomFunctions {
   def st_lnglat_from_utm(northing: Column, easting: Column,
                          zoneNumber: Column, zoneLetter: Column): Column =
     col(StLngLatFromUtm(ex(northing), ex(easting), ex(zoneNumber), ex(zoneLetter)))
+  /** forward projection to any registered SRID (core/Proj.scala). */
+  def st_project(lng: Column, lat: Column, srid: Int): Column =
+    col(StProject(ex(lng), ex(lat), srid))
+  /** inverse projection from any registered SRID. */
+  def st_project_inv(x: Column, y: Column, srid: Int): Column =
+    col(StProjectInv(ex(x), ex(y), srid))
 
   // text analysis
   /** bounded top-k aggregate: k smallest (dist2, nid), ascending. */
@@ -163,6 +169,11 @@ object GeomFunctions {
     "st_geomfromgeojson" -> (a => StGeomFromGeoJson(a(0))),
     "st_utm_from_lnglat" -> (a => StUtmFromLngLat(a(0), a(1))),
     "st_lnglat_from_utm" -> (a => StLngLatFromUtm(a(0), a(1), a(2), a(3))),
+    // SQL form: srid is a foldable integer literal (plan-time constant)
+    "st_project" -> (a => StProject(a(0), a(1),
+      a(2).eval().asInstanceOf[Number].intValue())),
+    "st_project_inv" -> (a => StProjectInv(a(0), a(1),
+      a(2).eval().asInstanceOf[Number].intValue())),
     "doc_fingerprint" -> (a => StFingerprint(a(0))),
     "minhash" -> (a => StMinHash(a(0), a(1))),
     "simhash" -> (a => StSimHash(a(0))),

@@ -162,4 +162,84 @@ object Curation {
     val keep = math.round(fraction * 1000).toInt
     df.filter(pmod(col(idCol), lit(p)) * 48271L % p % 1000L < keep)
   }
+
+  private val MinstdP = 2147483647L // 2^31 - 1
+
+  /** deterministic MINSTD hash of a non-negative-reduced id — the shared
+    * sampling/sharding key (same recurrence as [[hashSample]]).
+    */
+  private def minstd(idCol: String) =
+    pmod(col(idCol), lit(MinstdP)) * 48271L % MinstdP
+
+  /** Sequence packing (concat-and-chunk): lay documents end-to-end in id
+    * order within a hash shard and cut fixed-`capacity` training windows —
+    * the standard way pre-training pipelines turn ragged documents into
+    * dense fixed-length batches. Each doc gets its window index (`bin`),
+    * its offset inside the window, and a `straddles` flag for docs that
+    * cross a window boundary (consumers either split them or mask the
+    * boundary token).
+    *
+    * Scale shape: ONE shuffle — the per-shard cumulative-sum window.
+    * Shards are MINSTD-hash-balanced and their count is the parallelism
+    * knob (each shard's pack order is independent, so 10⁵ shards at 100 TB
+    * keep every window partition bounded while staying deterministic:
+    * the same id always lands in the same shard with the same neighbors).
+    * All arithmetic is int64 → bit-reproducible across engines.
+    */
+  def packSequences(docs: DataFrame, idCol: String, lenCol: String,
+                    capacity: Long, numShards: Int): DataFrame = {
+    require(capacity > 0, s"bad capacity $capacity")
+    require(numShards > 0, s"bad numShards $numShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
+    docs.select(col(idCol), col(lenCol).cast("long").as("len"))
+      .withColumn("shard", minstd(idCol) % numShards)
+      .withColumn("cum_end", sum(col("len")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("len"))
+      .select(col(idCol), col("shard"),
+        call_function("div", col("cum_start"), lit(capacity)).as("bin"),
+        (col("cum_start") % capacity).as("bin_offset"),
+        (col("cum_start") % capacity + col("len") > capacity).as("straddles"))
+  }
+
+  /** Domain-mixture resampling: downsample each domain so the KEPT corpus
+    * follows the target mixture weights exactly while keeping as many rows
+    * as possible — the static data-mixing step of a pre-training run
+    * (Pile/DoReMi-style fixed mixtures). `weights` are relative integer
+    * weights (denominator = their sum); rows whose domain has no weight
+    * are dropped. With T = minₛ ⌊countₛ·den/wₛ⌋ (the largest virtual
+    * corpus every domain can serve), each domain keeps ⌊wₛ·T/den⌋ rows —
+    * the ones with the smallest MINSTD id hashes, so reruns and engines
+    * agree row-for-row.
+    *
+    * Scale shape: one map-side-combined count aggregate (tiny output: one
+    * row per domain), T and per-domain keep counts computed IN-PLAN on
+    * that tiny frame (no driver collect), broadcast back, and one window
+    * shuffle on the domain for the hash rank. The rank window is the
+    * exact-count form; when weights are config constants with a known cap,
+    * compose [[quotaSample]]'s constant-limit rank+filter (map-side
+    * partial top-k) or pre-thin with [[hashSample]] at slightly above the
+    * target fraction before the exact pass.
+    */
+  def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
+                    weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), s"bad weights $weights")
+    val den = weights.values.sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(domainCol, "w")
+    val caps = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(wdf), Seq(domainCol))
+      .withColumn("t",
+        min(call_function("div", col("cnt") * den, col("w")))
+          .over(Window.partitionBy()))
+      .select(col(domainCol),
+        call_function("div", col("w") * col("t"), lit(den)).as("keep_n"))
+    docs.join(broadcast(caps), Seq(domainCol))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(domainCol))
+          .orderBy(minstd(idCol).asc, col(idCol).asc)).cast("long"))
+      .filter(col("rk") <= col("keep_n"))
+      .drop("rk")
+  }
 }

@@ -100,4 +100,21 @@ class SparkEntrySpec extends AnyFunSuite {
     val wkt = spark.sql("SELECT st_aswkt(st_geomfromwkt('POINT (1 2)')) AS w").head().getString(0)
     assert(wkt == "POINT (1 2)")
   }
+
+  test("st_project SQL surface: value parity, round-trip, analysis-time SRID check") {
+    graft.functions.GeomFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT st_project(-73.9857D, 40.7484D, 2263) AS p").head().getStruct(0)
+    val want = graft.core.Projection.Epsg2263.forward(-73.9857, 40.7484)
+    assert(r.getDouble(0) == want._1 && r.getDouble(1) == want._2)
+    val rt = spark.sql(
+      "SELECT st_project_inv(p.x, p.y, 2263).y AS lat FROM " +
+      "(SELECT st_project(-73.9857D, 40.7484D, 2263) AS p)").head().getDouble(0)
+    assert(math.abs(rt - 40.7484) < 1e-9)
+    // unknown SRID is a plan-time constant: must fail at ANALYSIS, never mid-job
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT st_project(1.0D, 2.0D, 99999)").head()
+    }
+    assert(e.getMessage.contains("unsupported SRID 99999"))
+  }
 }
