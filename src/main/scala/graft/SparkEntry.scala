@@ -882,6 +882,33 @@ object SparkEntry {
         "source", "doc_id",
         Map("src0" -> 4L, "src1" -> 3L, "src2" -> 2L, "src3" -> 1L))
         .select(col("doc_id"), col("source"), col("keep_n"))
+    }),
+
+    "q66_transform_geom" -> ((s, dir) => {
+      // whole-geometry reprojection (ApplyToPoints ∘ Grid{Srid}): 4326 →
+      // 3857 over both recursion branches (LINESTRING / MULTILINESTRING),
+      // vertex order preserved by the coordinate dump; the mm grid
+      // absorbs cross-libm tan/log ULPs (q32 pattern)
+      val base = spread(Synth.points(s, dir))
+      def pt(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        concat(x.cast("string"), lit(" "), y.cast("string"))
+      val mx = (col("lon") + col("lon2")) / 2
+      val my = (col("lat") + col("lat2")) / 2
+      val lineWkt = concat(lit("LINESTRING ("),
+        pt(col("lon"), col("lat")), lit(","),
+        pt(col("lon2"), col("lat2")), lit(","), pt(mx, my), lit(")"))
+      val mlWkt = concat(lit("MULTILINESTRING (("),
+        pt(col("lon"), col("lat")), lit(","),
+        pt(col("lon2"), col("lat2")), lit("),("),
+        pt(col("lon"), col("lat2")), lit(","),
+        pt(col("lon2"), col("lat")), lit("))"))
+      base
+        .withColumn("g", st_geomfromwkt(
+          when(col("pid") % 2 === 0, lineWkt).otherwise(mlWkt)))
+        .withColumn("m", st_transform(col("g"), 4326, 3857))
+        .select(col("pid"), posexplode(st_dump_points(col("m"))))
+        .select(col("pid"), col("pos").cast("long").as("idx"),
+          round(col("col.x"), 3).as("mx"), round(col("col.y"), 3).as("my"))
     })
   )
 
@@ -1736,6 +1763,22 @@ object SparkEntry {
       "r AS (SELECT d.doc_id, d.source, caps.keep_n, ROW_NUMBER() OVER (" +
       "PARTITION BY d.source ORDER BY (d.doc_id % 2147483647) * 48271 % 2147483647, d.doc_id) AS rk " +
       "FROM d JOIN caps USING (source)) " +
-      "SELECT doc_id, source, keep_n FROM r WHERE rk <= keep_n")
+      "SELECT doc_id, source, keep_n FROM r WHERE rk <= keep_n"),
+
+    // vertex-order-preserving dump of the reprojected geometries; the
+    // spherical-Mercator forward in the exact core/Slippy.scala op shapes
+    // (x = R·(lon·π/180), y = R·ln(tan(π/4 + (lat·π/180)/2))), mm-rounded
+    "q66_transform_geom" ->
+      (s"WITH $P, v AS (" +
+      "SELECT pid, 0 AS idx, lon AS vx, lat AS vy FROM pts WHERE pid % 2 = 0 " +
+      "UNION ALL SELECT pid, 1, lon2, lat2 FROM pts WHERE pid % 2 = 0 " +
+      "UNION ALL SELECT pid, 2, (lon + lon2) / 2, (lat + lat2) / 2 FROM pts WHERE pid % 2 = 0 " +
+      "UNION ALL SELECT pid, 0, lon, lat FROM pts WHERE pid % 2 <> 0 " +
+      "UNION ALL SELECT pid, 1, lon2, lat2 FROM pts WHERE pid % 2 <> 0 " +
+      "UNION ALL SELECT pid, 2, lon, lat2 FROM pts WHERE pid % 2 <> 0 " +
+      "UNION ALL SELECT pid, 3, lon2, lat FROM pts WHERE pid % 2 <> 0) " +
+      "SELECT pid, CAST(idx AS BIGINT) AS idx, " +
+      "round(6378137.0 * (vx * pi() / 180.0), 3) AS mx, " +
+      "round(6378137.0 * ln(tan(pi() / 4.0 + (vy * pi() / 180.0) / 2.0)), 3) AS my FROM v")
   )
 }

@@ -107,6 +107,9 @@ object GeomFunctions {
   /** inverse projection from any registered SRID. */
   def st_project_inv(x: Column, y: Column, srid: Int): Column =
     col(StProjectInv(ex(x), ex(y), srid))
+  /** whole-geometry reprojection (WKB→WKB) between two registered SRIDs. */
+  def st_transform(geo: Column, fromSrid: Int, toSrid: Int): Column =
+    col(StTransform(ex(geo), fromSrid, toSrid))
 
   // text analysis
   /** bounded top-k aggregate: k smallest (dist2, nid), ascending. */
@@ -173,6 +176,9 @@ object GeomFunctions {
     "st_project" -> (a => StProject(a(0), a(1),
       a(2).eval().asInstanceOf[Number].intValue())),
     "st_project_inv" -> (a => StProjectInv(a(0), a(1),
+      a(2).eval().asInstanceOf[Number].intValue())),
+    "st_transform" -> (a => StTransform(a(0),
+      a(1).eval().asInstanceOf[Number].intValue(),
       a(2).eval().asInstanceOf[Number].intValue())),
     "doc_fingerprint" -> (a => StFingerprint(a(0))),
     "minhash" -> (a => StMinHash(a(0), a(1))),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types._
 
-import graft.core.Projection
+import graft.core.{Geom, Projection, Wkb}
 
 /** Forward map projection for any registered SRID (core/Proj.scala +
   * Projection.forSrid — the reference's Grid{Srid} CRS hook as a column):
@@ -60,4 +60,40 @@ case class StProjectInv(x: Expression, y: Expression, srid: Int) extends GeomExp
   }
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
     copy(c(0), c(1), srid)
+}
+
+/** Whole-geometry reprojection (WKB → WKB): the reference's
+  * `ApplyToPoints` (utils.go:6-110) composed with the `Grid{Srid}`
+  * projection pair — every coordinate runs inverse(fromSrid) → 4326 →
+  * forward(toSrid), recursing through collections, ring and vertex order
+  * preserved. Both SRIDs resolve at plan time (analysis failure on an
+  * unknown code); a geometry with any coordinate that has no finite image
+  * (e.g. a pole under a Mercator-family target) maps to NULL rather than
+  * a partially-poisoned geometry, matching st_project's scalar rule.
+  */
+case class StTransform(geo: Expression, fromSrid: Int, toSrid: Int) extends GeomExpr {
+  @transient private lazy val from: Projection = Projection.forSrid(fromSrid).get
+  @transient private lazy val to: Projection = Projection.forSrid(toSrid).get
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    ProjExpr.checkSrid(toSrid, ProjExpr.checkSrid(fromSrid, super.checkInputDataTypes()))
+  override def inputTypesImpl: Seq[DataType] = Seq(BinaryType)
+  override def children: Seq[Expression] = Seq(geo)
+  override def dataType: DataType = BinaryType
+
+  protected def evalN(v: Array[Any]): Any = {
+    val g = GeomExpr.geomOrNull(v(0).asInstanceOf[Array[Byte]])
+    if (g == null) return null
+    var finite = true
+    val out = Geom.applyToPoints(g) { p =>
+      val (lon, lat) = from.inverse(p._1, p._2)
+      val q = to.forward(lon, lat)
+      if (!(java.lang.Double.isFinite(q._1) && java.lang.Double.isFinite(q._2)))
+        finite = false
+      q
+    }
+    if (finite) Wkb.encode(out) else null
+  }
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(c(0), fromSrid, toSrid)
 }

@@ -117,4 +117,33 @@ class SparkEntrySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unsupported SRID 99999"))
   }
+
+  test("st_transform: whole-geometry reprojection round-trip, recursion, null rules") {
+    graft.functions.GeomFunctions.register(spark)
+    // collection recursion + round-trip 4326 -> 2263 -> 4326 (ftUS LCC)
+    val wkt = "GEOMETRYCOLLECTION (POINT (-74 40.7)," +
+      "MULTILINESTRING ((-73.9 40.6,-73.8 40.8),(-74.1 40.9,-74.05 40.75)))"
+    val got = spark.sql(
+      s"SELECT st_aswkt(st_transform(st_transform(st_geomfromwkt('$wkt'), 4326, 2263), " +
+      "2263, 4326)) AS w").head().getString(0)
+    // parse both and compare coordinates to projection round-trip tolerance
+    val a = graft.core.Geom.coordinates(graft.core.Wkt.decode(wkt))
+    val b = graft.core.Geom.coordinates(graft.core.Wkt.decode(got))
+    assert(a.size == b.size)
+    a.zip(b).foreach { case (p, q) =>
+      assert(math.abs(p._1 - q._1) < 1e-8 && math.abs(p._2 - q._2) < 1e-8) }
+    // identity transform is byte-stable WKB
+    val same = spark.sql(
+      s"SELECT st_transform(st_geomfromwkt('$wkt'), 4326, 4326) = " +
+      s"st_geomfromwkt('$wkt') AS eq").head()
+    assert(same.getBoolean(0))
+    // garbage WKB -> NULL; a coordinate with no finite image -> NULL for the
+    // whole geometry (not a partially-poisoned one) — NaN is the
+    // deterministic representative (pole behavior under Mercator is a
+    // finite-but-huge tan(~pi/2), not an infinity)
+    assert(spark.sql("SELECT st_transform(CAST('zz' AS BINARY), 4326, 3857) IS NULL AS n")
+      .head().getBoolean(0))
+    assert(spark.sql("SELECT st_transform(st_point(CAST('NaN' AS DOUBLE), 0.0D), " +
+      "4326, 3857) IS NULL AS n").head().getBoolean(0))
+  }
 }
