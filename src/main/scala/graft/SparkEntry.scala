@@ -909,6 +909,36 @@ object SparkEntry {
         .select(col("pid"), posexplode(st_dump_points(col("m"))))
         .select(col("pid"), col("pos").cast("long").as("idx"),
           round(col("col.x"), 3).as("mx"), round(col("col.y"), 3).as("my"))
+    }),
+
+    "q67_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: duplicate-word fraction,
+      // top-2-gram char coverage, duplicated-3-gram char coverage — one
+      // text scan, fractions bit-reproducible (single int64→double divide)
+      graft.operators.Curation.repetitionSignals(docsT(s, dir), "doc_id", "text")
+    }),
+
+    "q68_redact_pii" -> ((s, dir) => {
+      // PII scrub over deterministically-injected emails/IPs (the corpus
+      // text is synthetic word soup, so the gate plants its own PII the
+      // oracle rebuilds identically): emails first, IPs on the
+      // email-redacted text — map-only
+      val aug = docsT(s, dir).withColumn("aug", concat(
+        substring(col("text"), 1, 40),
+        lit(" mail user"), (col("doc_id") % 97).cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"),
+        lit(".com ip 10."), (col("doc_id") % 251).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"), lit(" tail")))
+      graft.operators.Curation.redactPii(aug, "doc_id", "aug")
+    }),
+
+    "q69_strat_split" -> ((s, dir) => {
+      // deterministic stratified train/val/test split, 8:1:1 per source —
+      // exact floor proportions, MINSTD rank, one window shuffle
+      graft.operators.Curation.stratifiedSplit(
+        docsT(s, dir), "source", "doc_id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
+        .select(col("doc_id"), col("source"), col("split"))
     })
   )
 
@@ -1780,5 +1810,55 @@ object SparkEntry {
       "SELECT pid, CAST(idx AS BIGINT) AS idx, " +
       "round(6378137.0 * (vx * pi() / 180.0), 3) AS mx, " +
       "round(6378137.0 * ln(tan(pi() / 4.0 + (vy * pi() / 180.0) / 2.0)), 3) AS my FROM v")
+      ,
+
+    // the pinned repetition definitions replayed: one tagged unit pool
+    // (words / 2-grams / 3-grams with space joiners), per-(doc,kind,unit)
+    // counts, the (cnt, gram)-max tie rule, int64→double fraction divides
+    "q67_repetition" ->
+      ("WITH w AS (SELECT doc_id AS doc, list_filter(" +
+      "regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws FROM documents), " +
+      "u AS (SELECT doc, 'w' AS kind, unnest(ws) AS unit FROM w " +
+      "UNION ALL SELECT doc, 'g2', unnest(list_transform(range(1, len(ws)), " +
+      "i -> ws[i] || ' ' || ws[i+1])) FROM w " +
+      "UNION ALL SELECT doc, 'g3', unnest(list_transform(range(1, len(ws) - 1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) FROM w), " +
+      "c AS (SELECT doc, kind, unit, count(*) AS cnt, CAST(length(unit) AS BIGINT) AS chars " +
+      "FROM u GROUP BY 1, 2, 3), " +
+      "t2 AS (SELECT doc, cnt, unit FROM (SELECT doc, cnt, unit, row_number() OVER (" +
+      "PARTITION BY doc ORDER BY cnt DESC, unit DESC) AS rk FROM c WHERE kind = 'g2') WHERE rk = 1), " +
+      "a AS (SELECT doc, CAST(sum(CASE WHEN kind = 'w' THEN cnt END) AS BIGINT) AS n_tokens, " +
+      "CAST(count(CASE WHEN kind = 'w' THEN 1 END) AS BIGINT) AS n_types, " +
+      "CAST(sum(CASE WHEN kind = 'g2' THEN cnt * chars END) AS BIGINT) AS chars2, " +
+      "CAST(coalesce(sum(CASE WHEN kind = 'g3' AND cnt > 1 THEN cnt * chars END), 0) AS BIGINT) AS dup3_chars, " +
+      "CAST(sum(CASE WHEN kind = 'g3' THEN cnt * chars END) AS BIGINT) AS chars3 " +
+      "FROM c GROUP BY 1) " +
+      "SELECT d.doc_id AS doc, coalesce(n_tokens, 0) AS n_tokens, coalesce(n_types, 0) AS n_types, " +
+      "CASE WHEN coalesce(n_tokens, 0) > 0 THEN CAST(n_tokens - n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS dup_word_frac, " +
+      "CASE WHEN chars2 > 0 THEN CAST(t2.cnt * length(t2.unit) AS DOUBLE) / CAST(chars2 AS DOUBLE) END AS top2_frac, " +
+      "CASE WHEN chars3 > 0 THEN CAST(dup3_chars AS DOUBLE) / CAST(chars3 AS DOUBLE) END AS dup3_frac " +
+      "FROM documents d LEFT JOIN a ON d.doc_id = a.doc LEFT JOIN t2 ON d.doc_id = t2.doc"),
+
+    // same injected PII, same pass order: emails on the raw text, IPs on
+    // the email-redacted text (both patterns are in the RE2∩Java subset)
+    "q68_redact_pii" ->
+      ("WITH a AS (SELECT doc_id, substr(text, 1, 40) || ' mail user' || " +
+      "CAST(doc_id % 97 AS VARCHAR) || '@ex' || CAST(doc_id % 7 AS VARCHAR) || " +
+      "'.com ip 10.' || CAST(doc_id % 251 AS VARCHAR) || '.0.' || " +
+      "CAST(doc_id % 250 AS VARCHAR) || ' tail' AS t FROM documents), " +
+      "e AS (SELECT doc_id, CAST(len(regexp_extract_all(t, " +
+      "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, " +
+      "regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2 FROM a) " +
+      "SELECT doc_id, n_email, CAST(len(regexp_extract_all(t2, " +
+      "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip, " +
+      "regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS redacted FROM e"),
+
+    // rk·den ≤ n·cum integer thresholds, MINSTD rank order, 8:1:1
+    "q69_strat_split" ->
+      ("WITH d AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source " +
+      "ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rk, " +
+      "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
+      "SELECT doc_id, source, CASE WHEN rk * 10 <= n * 8 THEN 'train' " +
+      "WHEN rk * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split FROM d")
   )
 }

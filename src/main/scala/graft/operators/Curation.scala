@@ -242,4 +242,137 @@ object Curation {
       .filter(col("rk") <= col("keep_n"))
       .drop("rk")
   }
+
+  /** Repetition quality signals — the duplicate-text family of
+    * pre-training quality filters (the word-n-gram analogues of the
+    * Gopher/MassiveText repetition filters, Rae et al. 2021 §A1.1).
+    * Per document, over tokens = non-empty whitespace splits of
+    * lower(text):
+    *
+    *  - `dup_word_frac` = (n_tokens − n_types) / n_tokens — the fraction
+    *    of token occurrences that repeat an earlier token type.
+    *  - `top2_frac` — characters covered by the most frequent word
+    *    2-gram: count·chars(gram) over the summed chars of ALL 2-gram
+    *    occurrences. Ties break to the lexicographically LARGEST gram
+    *    among the most frequent (max of the (count, gram) pair — the
+    *    pinned rule both engines reproduce).
+    *  - `dup3_frac` — characters covered by word 3-grams occurring more
+    *    than once, over all 3-gram occurrence chars.
+    *
+    * Gram chars include the single-space joiners; fractions are one
+    * int64→double division each (correctly-rounded IEEE-754, so scores
+    * reproduce bit-for-bit across engines). These are PINNED definitions
+    * — close kin of, not bit-stand-ins for, the published thresholds.
+    *
+    * Scale shape: ONE raw-text scan — words, 2-grams and 3-grams ride a
+    * single tagged generator (array concat → one explode), then
+    * groupBy(doc, kind, unit) with map-side combine and a final
+    * per-doc conditional aggregate. Both aggregations key on the doc id,
+    * so no key is hotter than one document's distinct grams.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kinds = Seq("w" -> 1, "g2" -> 2, "g3" -> 3)
+    val base = docs.select(col(idCol).as("doc"),
+      filter(split(lower(col(textCol)), "\\s+"), x => x =!= lit("")).as("ws"))
+    val nw = size(col("ws"))
+    val g2 = zip_with(
+      slice(col("ws"), lit(1), greatest(nw - 1, lit(0))),
+      slice(col("ws"), lit(2), greatest(nw - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    val g3 = zip_with(
+      slice(col("g2"), lit(1), greatest(nw - 2, lit(0))),
+      slice(col("ws"), lit(3), greatest(nw - 2, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    def tag(k: String, arr: org.apache.spark.sql.Column) =
+      transform(arr, u => struct(lit(k).as("kind"), u.as("unit")))
+    val counts = base
+      .withColumn("g2", g2).withColumn("g3", g3)
+      // explode_outer: a doc with no tokens keeps its row (null unit) —
+      // empty docs are exactly what a quality filter must still see
+      .select(col("doc"), explode_outer(concat(
+        tag("w", col("ws")), tag("g2", col("g2")), tag("g3", col("g3")))).as("u"))
+      .select(col("doc"), col("u.kind").as("kind"), col("u.unit").as("unit"))
+      .groupBy("doc", "kind", "unit")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", length(col("unit")).cast("long"))
+    counts.groupBy("doc").agg(
+        coalesce(sum(when(col("kind") === "w", col("cnt"))), lit(0L)).as("n_tokens"),
+        count(when(col("kind") === "w", lit(1))).as("n_types"),
+        max(when(col("kind") === "g2", struct(col("cnt"), col("unit")))).as("t2"),
+        sum(when(col("kind") === "g2", col("cnt") * col("chars"))).as("chars2"),
+        coalesce(sum(when(col("kind") === "g3" && col("cnt") > 1,
+          col("cnt") * col("chars"))), lit(0L)).as("dup3_chars"),
+        sum(when(col("kind") === "g3", col("cnt") * col("chars"))).as("chars3"))
+      .select(col("doc"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types").cast("long").as("n_types"),
+        when(col("n_tokens") > 0, (col("n_tokens") - col("n_types")).cast("double")
+          / col("n_tokens").cast("double")).as("dup_word_frac"),
+        when(col("chars2") > 0,
+          (col("t2.cnt") * length(col("t2.unit")).cast("long")).cast("double")
+            / col("chars2").cast("double")).as("top2_frac"),
+        when(col("chars3") > 0,
+          col("dup3_chars").cast("double") / col("chars3").cast("double"))
+          .as("dup3_frac"))
+  }
+
+  /** Email pattern for [[redactPii]] — the RE2∩java.util.regex common
+    * subset (character classes, bounded repetition; no lookaround), so
+    * the SAME pattern string runs identically in Spark codegen and any
+    * RE2-based engine.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** IPv4 pattern for [[redactPii]] — ASCII \\b word boundaries (RE2 and
+    * Java agree on ASCII text; \\d is [0-9] in both).
+    */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction: replace emails then IPv4 literals with typed
+    * placeholder tags and report how many of each were redacted — the
+    * scrubbing pass a training corpus runs before anything else sees the
+    * text. Map-only (no shuffle, codegen'd regex kernels); counts are
+    * pinned to the pass order: emails counted on the raw text, IPs
+    * counted AFTER email redaction (an IP-looking octet inside an email
+    * domain is redacted as part of the email, so it must not be counted
+    * twice).
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
+    docs.select(col(idCol),
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+          .cast("long").as("n_email"),
+        afterEmail.as("__t"))
+      .select(col(idCol), col("n_email"),
+        size(regexp_extract_all(col("__t"), lit(Ipv4Re), lit(0)))
+          .cast("long").as("n_ip"),
+        regexp_replace(col("__t"), Ipv4Re, "<IP>").as("redacted"))
+  }
+
+  /** Deterministic stratified split: partition every stratum (`keyCol`
+    * group) across the named splits in exact integer-weight proportions —
+    * the train/val/test cut that reproduces row-for-row across runs,
+    * engines and partitionings (df.randomSplit is none of those). Rows
+    * rank by MINSTD id hash within their stratum; row rk of n joins the
+    * first split j with rk·den ≤ n·cumweight_j (pure int64 — no float
+    * thresholds), and the last split catches the remainder, so every row
+    * lands in exactly one split and each stratum's counts are the floor
+    * proportions. ONE shuffle (the per-stratum rank window).
+    */
+  def stratifiedSplit(docs: DataFrame, keyCol: String, idCol: String,
+                      splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), s"bad splits $splits")
+    val den = splits.map(_._2).sum
+    val cums = splits.map(_._2).scanLeft(0L)(_ + _).tail
+    val rkW = Window.partitionBy(col(keyCol))
+      .orderBy(minstd(idCol).asc, col(idCol).asc)
+    val assign = splits.zip(cums).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cum), rest) =>
+        when(col("__rk") * den <= col("__n") * cum, lit(name)).otherwise(rest)
+    }
+    docs.withColumn("__rk", row_number().over(rkW).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))).cast("long"))
+      .withColumn("split", assign)
+      .drop("__rk", "__n")
+  }
 }

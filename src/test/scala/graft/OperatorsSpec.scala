@@ -1173,6 +1173,77 @@ class OperatorsSpec extends AnyFunSuite {
     assert(zv.filter(col("qv") =!= 0).count() == 0)
   }
 
+  test("repetitionSignals: crafted fractions exact, edge docs well-defined") {
+    import spark.implicits._
+    val docs = Seq(
+      // 4 tokens, 3 types; 2-grams: "b b","b c","c b" (3 distinct, one each
+      // after tie rule: top = "c b" lex-largest among count-1 ties);
+      // 3-grams all distinct -> dup3 = 0
+      (1L, "b b c b"),
+      // "x x x x": 4 tokens 1 type; 2-grams "x x"×3 -> top2 = 3*3/9;
+      // 3-grams "x x x"×2 -> dup3 = 2*5/10
+      (2L, "x x x x"),
+      (3L, "solo"),          // 1 token: no grams -> null fracs
+      (4L, "  "),            // no tokens -> all null
+      (5L, "Aa aA")          // lowercased -> 1 type, dup_word_frac 0.5
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(id: Long, i: Int) = if (out(id).isNullAt(i)) Double.NaN else out(id).getDouble(i)
+    assert(out(1).getLong(1) == 4 && out(1).getLong(2) == 2)
+    assert(d(1, 3) == 0.5)
+    assert(d(1, 4) == 3.0 / 9.0)   // "c b" (or any 1-count gram) 3 chars of 9
+    assert(d(1, 5) == 0.0)
+    assert(d(2, 3) == 0.75 && d(2, 4) == 1.0 && d(2, 5) == 1.0)
+    assert(out(3).getLong(1) == 1 && d(3, 3) == 0.0 && d(3, 4).isNaN && d(3, 5).isNaN)
+    assert(out(4).getLong(1) == 0 && d(4, 3).isNaN)
+    assert(d(5, 3) == 0.5)
+  }
+
+  test("redactPii: counts and pass order pinned, clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b+c@ex.co and x@y.org end"),
+      (2L, "ip 10.0.0.1 then 255.255.255.255"),
+      // the IP inside the email domain is swallowed by the email redaction
+      // and must not be counted as an IP
+      (3L, "mixed root@10.1.2.3.com plus bare 192.168.0.1"),
+      (4L, "no pii here 1.2 not.an.ip 1234.5.6.7x")
+    ).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 0)
+    assert(out(1).getString(3) == "mail <EMAIL> and <EMAIL> end")
+    assert(out(2).getLong(1) == 0 && out(2).getLong(2) == 2)
+    assert(out(2).getString(3) == "ip <IP> then <IP>")
+    assert(out(3).getLong(1) == 1 && out(3).getLong(2) == 1)
+    assert(out(3).getString(3) == "mixed <EMAIL> plus bare <IP>")
+    assert(out(4).getLong(1) == 0 && out(4).getLong(2) == 0)
+    assert(out(4).getString(3) == "no pii here 1.2 not.an.ip 1234.5.6.7x")
+  }
+
+  test("stratifiedSplit: exact floor proportions per stratum, deterministic, total") {
+    import spark.implicits._
+    val docs = (0L until 1000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val out = Curation.stratifiedSplit(docs, "source", "doc_id", splits)
+    assert(out.count() == 1000)
+    val counts = out.groupBy("source", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (s <- Seq("s0", "s1", "s2")) {
+      val n = docs.filter(col("source") === s).count()
+      assert(counts((s, "train")) == n * 8 / 10)
+      assert(counts((s, "val")) == n * 9 / 10 - n * 8 / 10)
+      assert(counts((s, "test")) == n - n * 9 / 10)
+    }
+    // rerun under a different partitioning -> identical assignment
+    val again = Curation.stratifiedSplit(docs.repartition(7), "source", "doc_id", splits)
+    assert(out.select("doc_id", "split").except(again.select("doc_id", "split")).count() == 0)
+    // one-split degenerate: everything lands in it
+    assert(Curation.stratifiedSplit(docs, "source", "doc_id", Seq("all" -> 1L))
+      .filter(col("split") =!= "all").count() == 0)
+  }
+
   test("multi-zoom tile rollup emits all requested zooms") {
     val docs = graft.sources.DocsTable.docs(spark, dir)
     val polys = graft.sources.DocsTable.extractGeometries(docs)
