@@ -939,6 +939,26 @@ object SparkEntry {
         docsT(s, dir), "source", "doc_id",
         Seq("train" -> 8L, "val" -> 1L, "test" -> 1L))
         .select(col("doc_id"), col("source"), col("split"))
+    }),
+
+    "q70_bucketed_pip" -> ((s, dir) => {
+      // the q03 join through a cell-BUCKETED table layout: pay the cell
+      // shuffle once at write time, then the join itself plans with zero
+      // exchange on either side (asserted in SpatialJoinSpec) — the
+      // repeated-join form at corpus scale. Same rows as q03's oracle.
+      val pts = Synth.points(s, dir)
+        .withColumn("cell5", st_cell_at(col("lon"), col("lat"), lit(5)))
+        .select(col("pid"), col("lon"), col("lat"), col("cell5"))
+      val regions = Synth.regions(s, dir)
+        .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+        .withColumn("cell5", explode(
+          st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"), lit(5))))
+        .select(col("region_id"), col("poly"), col("cell5"))
+      graft.sources.CatalogIO.writeBucketed(pts, "graft_q70_pts", "cell5", 16)
+      graft.sources.CatalogIO.writeBucketed(regions, "graft_q70_regions", "cell5", 16)
+      graft.operators.SpatialJoin.pipJoinBucketed(s,
+          "graft_q70_pts", "graft_q70_regions", "cell5", "lon", "lat", "poly")
+        .select(col("pid"), col("region_id"))
     })
   )
 
@@ -1859,6 +1879,11 @@ object SparkEntry {
       "ORDER BY (doc_id % 2147483647) * 48271 % 2147483647, doc_id) AS rk, " +
       "count(*) OVER (PARTITION BY source) AS n FROM documents) " +
       "SELECT doc_id, source, CASE WHEN rk * 10 <= n * 8 THEN 'train' " +
-      "WHEN rk * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split FROM d")
+      "WHEN rk * 10 <= n * 9 THEN 'val' ELSE 'test' END AS split FROM d"),
+
+    // identical containment semantics to q03 — only the physical layout
+    // differs (bucketed tables, exchange-free merge join)
+    "q70_bucketed_pip" ->
+      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy"
   )
 }

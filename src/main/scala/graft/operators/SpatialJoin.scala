@@ -238,4 +238,30 @@ object SpatialJoin {
       .filter(overlap && col("__cell") === reportingCell)
       .select((a.columns.map(col) ++ b.columns.map(col)).toIndexedSeq: _*)
   }
+
+  /** PIP join over PRE-BUCKETED catalog tables — the zero-exchange form
+    * for a corpus that is spatially joined REPEATEDLY. Both tables must
+    * have been written by [[graft.sources.CatalogIO.writeBucketed]] on the
+    * same cell column with the SAME bucket count (points carry their cell,
+    * polygons one row per cover cell with the geometry). Matching cells
+    * then live in matching buckets, so the join plans with NO shuffle
+    * exchange on either side — the cell shuffle was paid once at layout
+    * time and is amortized over every subsequent join, which at 100 TB is
+    * the difference between re-shuffling the corpus per query and reading
+    * co-located splits.
+    *
+    * The merge hint pins the sort-merge strategy (a broadcastable polygon
+    * side would otherwise take the broadcast plan and hide the layout
+    * property this operator exists to exploit; with broadcast the bucketed
+    * layout is pointless anyway). Exactness is unchanged: the cell match
+    * is the same candidate generator as [[pipJoin]], and `st_contains`
+    * applies the reference containment rules to every candidate.
+    */
+  def pipJoinBucketed(spark: org.apache.spark.sql.SparkSession,
+                      pointsTable: String, polysTable: String,
+                      cellCol: String, lonCol: String, latCol: String,
+                      polyCol: String): DataFrame =
+    spark.table(pointsTable).hint("merge")
+      .join(spark.table(polysTable), Seq(cellCol))
+      .filter(st_contains(col(polyCol), col(lonCol), col(latCol)))
 }

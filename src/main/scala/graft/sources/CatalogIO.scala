@@ -56,6 +56,52 @@ object CatalogIO {
   def append(df: DataFrame, ident: String): Unit =
     df.writeTo(ident).append()
 
+  /** Write `df` hash-bucketed on `bucketCol` into `numBuckets` buckets as
+    * a named table — the ONE-TIME layout step that makes every later join
+    * or aggregate keyed on that column exchange-free: two tables bucketed
+    * the same way co-locate matching keys, so the planner drops both
+    * shuffle exchanges (bucket count must match across join sides).
+    * This is the 100 TB lever for repeated spatial joins: pay the cell
+    * shuffle once at ingest, then every PIP/distance/extent join over the
+    * corpus reads co-located buckets.
+    *
+    * V2 catalogs with bucket transforms (Iceberg) take the
+    * `partitionedBy(bucket(n, col))` path — Spark plans storage-partitioned
+    * joins against it. The built-in session catalog rejects that transform
+    * (UNSUPPORTED_FEATURE), so it falls back to Spark's native V1
+    * bucketing (`bucketBy` + `sortBy` + `saveAsTable`), which the planner
+    * recognizes the same way — proven exchange-free in SpatialJoinSpec.
+    */
+  def writeBucketed(df: DataFrame, ident: String, bucketCol: String,
+                    numBuckets: Int): Unit = {
+    import org.apache.spark.sql.functions.{bucket, col, lit}
+    try df.writeTo(ident)
+      .partitionedBy(bucket(lit(numBuckets), col(bucketCol)))
+      .using("parquet").createOrReplace()
+    catch {
+      case e: org.apache.spark.sql.AnalysisException if isUnsupportedReplace(e) =>
+        clearOrphanLocation(df.sparkSession, ident)
+        df.write.format("parquet")
+          .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+          .mode("overwrite").saveAsTable(ident)
+    }
+  }
+
+  /** The session catalog's registration is in-memory/derby-local while its
+    * warehouse directory persists — a table written by a previous JVM
+    * leaves an ORPHANED location that makes the next saveAsTable fail with
+    * LOCATION_ALREADY_EXISTS. Clear the default-warehouse location only
+    * when the catalog does NOT know the table (so a live table's data is
+    * never touched); registered tables are handled by mode("overwrite").
+    */
+  private def clearOrphanLocation(spark: SparkSession, ident: String): Unit =
+    if (!spark.catalog.tableExists(ident)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+      val path = new org.apache.hadoop.fs.Path(wh, ident.split('.').last.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+
   def tableExists(spark: SparkSession, ident: String): Boolean =
     spark.catalog.tableExists(ident)
 }

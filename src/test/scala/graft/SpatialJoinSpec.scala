@@ -203,4 +203,45 @@ class SpatialJoinSpec extends AnyFunSuite {
       .agg(max(col("n"))).head().getInt(0)
     assert(maxEmit <= bound, s"per-row emission $maxEmit exceeds bound $bound")
   }
+
+  test("bucketed layout: join plans with ZERO exchange, rows match the shuffled control") {
+    val dir = "/root/testdata/sf0.001"
+    val pts = graft.sources.Synth.points(spark, dir)
+      .withColumn("cell5", st_cell_at(col("lon"), col("lat"), lit(5)))
+      .select(col("pid"), col("lon"), col("lat"), col("cell5"))
+    val regions = graft.sources.Synth.regions(spark, dir)
+      .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+      .withColumn("cell5", explode(
+        st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"), lit(5))))
+      .select(col("region_id"), col("poly"), col("cell5"))
+    graft.sources.CatalogIO.writeBucketed(pts, "graft_spec_bpts", "cell5", 8)
+    graft.sources.CatalogIO.writeBucketed(regions, "graft_spec_bregions", "cell5", 8)
+    // the fallback path (session catalog) must have produced a REAL
+    // bucketed table, not a plain one
+    val ddl = spark.sql("DESCRIBE TABLE EXTENDED graft_spec_bpts")
+      .collect().map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("; ")
+    assert(ddl.contains("Num Buckets=8") && ddl.contains("cell5"), ddl)
+
+    val j = graft.operators.SpatialJoin.pipJoinBucketed(spark,
+      "graft_spec_bpts", "graft_spec_bregions", "cell5", "lon", "lat", "poly")
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+
+    // result identity vs the plain (exchange-bearing) join on the same frames
+    val control = pts.join(regions, Seq("cell5"))
+      .filter(st_contains(col("poly"), col("lon"), col("lat")))
+      .select(col("pid"), col("region_id"))
+    val got = j.select(col("pid"), col("region_id"))
+    assert(got.count() == control.count() && got.except(control).isEmpty &&
+      control.except(got).isEmpty, "bucketed join rows diverge from control")
+
+    // mismatched bucket counts degrade correctly (exchange appears, rows equal)
+    graft.sources.CatalogIO.writeBucketed(regions, "graft_spec_bregions4", "cell5", 4)
+    val mixed = graft.operators.SpatialJoin.pipJoinBucketed(spark,
+      "graft_spec_bpts", "graft_spec_bregions4", "cell5", "lon", "lat", "poly")
+    assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(mixed.count() == control.count())
+  }
 }
