@@ -53,9 +53,16 @@ object Scaling {
     */
   val Q30Tier = sys.env.getOrElse("SPARK_GRAFT_Q30_TIER", "960").toInt
 
+  /** q21 tier: ×48 default; the round-6 Amdahl fit over 4 clean-window
+    * thread points (S≈20 s fixed + P≈350 s parallel) predicts the fixed
+    * section amortizes at bigger tiers — override to ×480 to test that
+    * prediction directly (the fit says ~0.94 there vs ~0.6 at ×48).
+    */
+  val Q21Tier = sys.env.getOrElse("SPARK_GRAFT_Q21_TIER", "48").toInt
+
   private val plan: Seq[(String, Int)] = Seq(
     "q33_pipeline_op" -> Q33Tier,
-    "q21_knn_cell" -> 48,
+    "q21_knn_cell" -> Q21Tier,
     "q12_knn" -> 48,
     "q29_makevalid" -> 48,
     "q01_tile_assign" -> 480,
@@ -156,7 +163,15 @@ object Scaling {
     // so the ratio measures parallelism, nothing else.
     val builder1 = SparkSession.builder()
       .appName(s"graft-scaling-$cpus")
-      .config("spark.sql.shuffle.partitions", "64")
+      // default 64: spill-free and identical on both sides at the ×8-×48
+      // tiers (see the comment below). Bigger tiers must SCALE partitions
+      // with the data or the fixed count turns sort windows into spills —
+      // the ×480 first attempt at 64 measured 27× wall for 10× data on
+      // both sides (the deployment rule at 100 TB is partitions ∝ data,
+      // which keeps per-partition sorts in memory; the knob makes the
+      // harness follow it at big tiers while staying constant lo-vs-hi).
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_PARTITIONS", "64"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
