@@ -959,6 +959,15 @@ object SparkEntry {
       graft.operators.SpatialJoin.pipJoinBucketed(s,
           "graft_q70_pts", "graft_q70_regions", "cell5", "lon", "lat", "poly")
         .select(col("pid"), col("region_id"))
+    }),
+
+    "q71_morton_key" -> ((s, dir) => {
+      // the Z-order layout key (16-bit-per-axis Morton interleave) —
+      // every shift/mask step int64-exact, the float grid step pinned
+      // (add, divide, multiply, floor); LayoutSpec measures the >=4x
+      // scan pruning the key buys
+      Synth.points(s, dir).select(col("pid"),
+        graft.operators.Layout.mortonKey(col("lon"), col("lat")).as("zkey"))
     })
   )
 
@@ -1884,6 +1893,18 @@ object SparkEntry {
     // identical containment semantics to q03 — only the physical layout
     // differs (bucketed tables, exchange-free merge join)
     "q70_bucketed_pip" ->
-      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy"
+      s"WITH $P, $R SELECT pid, region_id FROM pts, regions WHERE lon >= minx AND lon <= maxx AND lat >= miny AND lat <= maxy",
+
+    // the Morton interleave replayed step-for-step in int64 (the magic
+    // masks in decimal); the grid step is the identical pinned float expr
+    "q71_morton_key" ->
+      (s"WITH $P, g AS (SELECT pid, " +
+      "least(65535, greatest(0, CAST(floor((lon + 180.0) / 360.0 * 65536.0) AS BIGINT))) AS gx, " +
+      "least(65535, greatest(0, CAST(floor((lat + 90.0) / 180.0 * 65536.0) AS BIGINT))) AS gy FROM pts), " +
+      "s1 AS (SELECT pid, (gx | (gx << 8)) & 71777214294589695 AS px, (gy | (gy << 8)) & 71777214294589695 AS py FROM g), " +
+      "s2 AS (SELECT pid, (px | (px << 4)) & 1085102592571150095 AS qx, (py | (py << 4)) & 1085102592571150095 AS qy FROM s1), " +
+      "s3 AS (SELECT pid, (qx | (qx << 2)) & 3689348814741910323 AS rx, (qy | (qy << 2)) & 3689348814741910323 AS ry FROM s2), " +
+      "s4 AS (SELECT pid, (rx | (rx << 1)) & 6148914691236517205 AS sx, (ry | (ry << 1)) & 6148914691236517205 AS sy FROM s3) " +
+      "SELECT pid, sx | (sy << 1) AS zkey FROM s4")
   )
 }
