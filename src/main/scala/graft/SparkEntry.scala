@@ -49,6 +49,20 @@ object SparkEntry {
     }
   }
 
+  /** round(c, d) with the driver oracle's (DuckDB) double-round zero
+    * semantics: a result that rounds to zero keeps the SIGN of the input
+    * (`c * 0.0` is IEEE-exact for finite c). Spark's BigDecimal HALF_UP
+    * round normalizes -0.0 to +0.0, which is value-equal but BIT-different
+    * under the driver's hash — the round-6 q66 red row was exactly one
+    * tiny-negative Mercator y mm-rounding to -0.0 in DuckDB and +0.0 here.
+    * Also matches the reference's own RoundToPrec -0 -> 0 direction at the
+    * unrounded level (geom.go RoundToPrec); applied to every gate that
+    * dumps a rounded double (q32/q38/q63/q66 — the q17-style raw-double
+    * dumps and the cast-to-long vertex hashes have no signed-zero hazard).
+    */
+  private def roundZ(c: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column =
+    when(round(c, d) === 0.0, c * lit(0.0)).otherwise(round(c, d))
+
   /** Flagship: interleaved docs table → span extraction → WKT parse →
     * z15 cell encode → broadcast PIP join against regions → per-region
     * rollup. Runs on sf0.001 (driver smoke-checks rows > 0).
@@ -358,8 +372,8 @@ object SparkEntry {
         // meters rounded to mm: a single transcendental differing by
         // 1 ulp between JVM and DuckDB libm (observed once in 57k rows)
         // is ~6e-11 m here; the mm grid absorbs it with ~1e-8 flip risk
-        .select(col("pid"), round(col("u.northing"), 3).as("northing"),
-          round(col("u.easting"), 3).as("easting"), col("u.zone_number").as("zn"),
+        .select(col("pid"), roundZ(col("u.northing"), 3).as("northing"),
+          roundZ(col("u.easting"), 3).as("easting"), col("u.zone_number").as("zn"),
           col("u.zone_letter").as("zl"))
     }),
 
@@ -478,7 +492,7 @@ object SparkEntry {
           lit(100000.0) + (col("pid") % 797).cast("double") * 1000.0 +
             (col("pid") % 13).cast("double") * 7.3)
         .withColumn("ll", st_lnglat_from_utm(col("northing"), col("easting"), col("zn"), col("zl")))
-        .select(col("pid"), round(col("ll.lng"), 9).as("lng"), round(col("ll.lat"), 9).as("lat"))
+        .select(col("pid"), roundZ(col("ll.lng"), 9).as("lng"), roundZ(col("ll.lat"), 9).as("lat"))
     }),
 
     "q39_embed_neardup" -> ((s, dir) => {
@@ -862,8 +876,8 @@ object SparkEntry {
       // rounded to 1e-3 (q32's mm-grid ULP-absorption pattern).
       Synth.points(s, dir)
         .withColumn("pp", st_project(col("lon"), col("lat"), 2263))
-        .select(col("pid"), round(col("pp.x"), 3).as("easting_ft"),
-          round(col("pp.y"), 3).as("northing_ft"))
+        .select(col("pid"), roundZ(col("pp.x"), 3).as("easting_ft"),
+          roundZ(col("pp.y"), 3).as("northing_ft"))
     }),
 
     "q64_seq_pack" -> ((s, dir) => {
@@ -908,7 +922,7 @@ object SparkEntry {
         .withColumn("m", st_transform(col("g"), 4326, 3857))
         .select(col("pid"), posexplode(st_dump_points(col("m"))))
         .select(col("pid"), col("pos").cast("long").as("idx"),
-          round(col("col.x"), 3).as("mx"), round(col("col.y"), 3).as("my"))
+          roundZ(col("col.x"), 3).as("mx"), roundZ(col("col.y"), 3).as("my"))
     }),
 
     "q67_repetition" -> ((s, dir) => {

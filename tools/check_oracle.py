@@ -41,20 +41,37 @@ for name in sorted(oracles):
     for c in got.columns:
         a, b = got[c].to_numpy(), want[c].to_numpy()
         if a.dtype.kind == 'f' or b.dtype.kind == 'f':
-            eq = np.array_equal(a.astype(np.float64), b.astype(np.float64), equal_nan=True)
+            # DRIVER-STRICT float compare (round-6 verdict #2): the driver
+            # hashes serialized values, so -0.0 vs 0.0 (and any other
+            # bit-level divergence) is a mismatch even though numpy's
+            # array_equal treats them as equal. Compare the int64 bit
+            # patterns, with NaNs canonicalized to one quiet-NaN pattern.
+            af = a.astype(np.float64).copy()
+            bf = b.astype(np.float64).copy()
+            af[np.isnan(af)] = np.float64('nan')
+            bf[np.isnan(bf)] = np.float64('nan')
+            ab, bb = af.view(np.int64), bf.view(np.int64)
+            eq = np.array_equal(ab, bb)
+            if not eq:
+                m = ab != bb
+                idx = int(np.argmax(m))
+                print(f"{name}: VALUE mismatch col={c} first_bad="
+                      f"({idx}, {af[idx]!r}, {bf[idx]!r}) [bit-strict]")
+                ok = False; fail += 1
+                break
         else:
             eq = (pd.Series(a).astype(object) == pd.Series(b).astype(object)).all()
-        if not eq:
-            bad = None
-            try:
-                m = a != b
-                idx = int(np.argmax(m))
-                bad = (idx, a[idx], b[idx])
-            except Exception:
-                pass
-            print(f"{name}: VALUE mismatch col={c} first_bad={bad}")
-            ok = False; fail += 1
-            break
+            if not eq:
+                bad = None
+                try:
+                    m = a != b
+                    idx = int(np.argmax(m))
+                    bad = (idx, a[idx], b[idx])
+                except Exception:
+                    pass
+                print(f"{name}: VALUE mismatch col={c} first_bad={bad}")
+                ok = False; fail += 1
+                break
     if ok:
         print(f"{name}: OK rows={len(got)}")
 
