@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // default heap: 16g ≈ 0.5 GB per local[32] task slot (guide §5 — the
+  // round-6 8g default left ~148 MB of execution memory per concurrent
+  // task, marginal for 32-way window sorts + broadcast builds and a
+  // source of GC-pressure variance). Still env-overridable; production
+  // executors size per-core memory in spark.executor.memory, not here.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.getOrElse(
   // GC selection: ParallelGC beat G1 1.40M -> 1.69M rows/s on the RAW
   // 32-thread kernel chain (short-lived row-scoped allocation), but G1

@@ -36,6 +36,15 @@ object BenchExtra {
         scanRecords.addAndGet(m.inputMetrics.recordsRead)
         spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
         gcMs.addAndGet(m.jvmGCTime)
+        if (sys.env.contains("SPARK_GRAFT_STAGE_LOG")) {
+          val si = sc.stageInfo
+          val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+            yield a - b).getOrElse(-1L)
+          System.err.println(f"[stage] id=${si.stageId}%4d wall=${wall}%6d ms " +
+            f"tasks=${si.numTasks}%4d cpu=${m.executorRunTime}%7d ms " +
+            f"in=${m.inputMetrics.recordsRead}%9d sh=${m.shuffleWriteMetrics.recordsWritten}%8d " +
+            si.name.takeWhile(_ != '\n').take(90))
+        }
       }
     }
   }

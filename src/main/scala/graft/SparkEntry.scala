@@ -298,7 +298,15 @@ object SparkEntry {
 
     "q22_tiler_assign" -> ((s, dir) => {
       val docs = DocsTable.docs(s, dir)
+      // span_offset = 3 is the docs table's polygon span (DocsTable.docs
+      // emits points at offset 1, polygons at offset 3), so the offset
+      // prefilter is row-equivalent to the type filter that follows — but
+      // Catalyst pushes it BELOW the WKT parse, so the 99% non-polygon
+      // spans are never parsed (guide §8: use what the optimizer cannot
+      // know). The st_geomtype filter stays as the semantic gate; the
+      // oracle proves row equivalence.
       val polys = DocsTable.extractGeometries(docs)
+        .filter(col("span_offset") === 3)
         .filter(st_geomtype(col("geom")) === "Polygon")
       graft.operators.Tiler.assignTiles(polys, "doc_id", 9)
         .groupBy(st_cell_x(col("cell")).as("x"), st_cell_y(col("cell")).as("y"))
@@ -334,7 +342,10 @@ object SparkEntry {
 
     "q29_makevalid" -> ((s, dir) => {
       val docs = DocsTable.docs(s, dir)
+      // offset-3 prefilter: same row set as the type filter (q22 note),
+      // pushed below the WKT parse so only polygon spans pay it
       val polys = DocsTable.extractGeometries(docs)
+        .filter(col("span_offset") === 3)
         .filter(st_geomtype(col("geom")) === "Polygon")
       val nan = lit(Double.NaN)
       // vhash: order-independent coordinate-level gate — sum over output
@@ -637,7 +648,7 @@ object SparkEntry {
       // Coordinates quantized to quarters (exact dyadic) so Java and
       // DuckDB double formatting agree character-for-character.
       import s.implicits._
-      Synth.points(s, dir)
+      spread(Synth.points(s, dir))
         .select(col("pid"),
           (floor(col("lon") * 4) / 4.0).as("x"),
           (floor(col("lat") * 4) / 4.0).as("y"))

@@ -14,3 +14,15 @@ object ListenerDrain {
   def waitUntilEmpty(sc: SparkContext, timeoutMillis: Long = 30000L): Unit =
     sc.listenerBus.waitUntilEmpty(timeoutMillis)
 }
+
+/** Serializable Hadoop-configuration carrier for the distributed footer
+  * count (Footers.scala): tasks need the session's Hadoop conf (FS
+  * credentials, endpoints) but `Configuration` is not serializable and
+  * Spark's own wrapper `org.apache.spark.util.SerializableConfiguration`
+  * is `private[spark]` — hence this shim.
+  */
+object HadoopConf {
+  def serializable(conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.util.SerializableConfiguration =
+    new org.apache.spark.util.SerializableConfiguration(conf)
+}

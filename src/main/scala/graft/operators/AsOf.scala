@@ -63,11 +63,23 @@ object AsOf {
     */
   private def timeNum(df: DataFrame, timeCol: String): Column =
     df.schema(timeCol).dataType match {
-      // NTZ (how parquet timestamps without UTC adjustment read in Spark 4)
-      // casts through TimestampType first; the session-zone offset is the
-      // same constant on both sides, so the SUBTRACTION is still exact
-      case TimestampType | TimestampNTZType =>
-        unix_micros(col(timeCol).cast(TimestampType))
+      case TimestampType => unix_micros(col(timeCol))
+      // NTZ (how parquet timestamps without UTC adjustment read in Spark 4):
+      // do NOT cast through TimestampType — that embeds the session-zone
+      // offset AT EACH VALUE, and across a DST transition in a
+      // DST-observing session zone the left and matched right rows get
+      // DIFFERENT offsets, skewing the horizon subtraction by up to an
+      // hour (round-6 advice). Derive the wall-clock epoch micros from
+      // zone-free date/time fields instead: datediff/hour/minute are
+      // zone-independent on NTZ, and extract(SECOND) is an exact
+      // DECIMAL(8,6) carrying the microsecond fraction.
+      case TimestampNTZType =>
+        val t = col(timeCol)
+        datediff(t.cast(org.apache.spark.sql.types.DateType),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long") * lit(86400000000L) +
+          hour(t).cast("long") * lit(3600000000L) +
+          minute(t).cast("long") * lit(60000000L) +
+          expr(s"CAST(extract(SECOND FROM `$timeCol`) * 1000000 AS BIGINT)")
       case _ => col(timeCol)
     }
 

@@ -96,7 +96,9 @@ object Curation {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     val nDocs = graft.sources.Footers.exactRowCount(docs).getOrElse(docs.count())
-    val words = docs.select(col(idCol).as("doc"),
+    // tokenize + explode at kernel parallelism, not scan-split count
+    // (no-op when the scan already has >= cores splits)
+    val words = Spread.forKernels(docs).select(col(idCol).as("doc"),
       explode(filter(split(lower(col(textCol)), "\\s+"),
         w => w =!= lit(""))).as("word"))
     words.groupBy("doc", "word").agg(count(lit(1)).as("tf"))
@@ -272,7 +274,9 @@ object Curation {
     */
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val kinds = Seq("w" -> 1, "g2" -> 2, "g3" -> 3)
-    val base = docs.select(col(idCol).as("doc"),
+    // the n-gram generator + per-unit hash agg is the hot map stage —
+    // spread it off the scan-split count (no-op at scale)
+    val base = Spread.forKernels(docs).select(col(idCol).as("doc"),
       filter(split(lower(col(textCol)), "\\s+"), x => x =!= lit("")).as("ws"))
     val nw = size(col("ws"))
     val g2 = zip_with(
@@ -338,7 +342,10 @@ object Curation {
     */
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val afterEmail = regexp_replace(col(textCol), EmailRe, "<EMAIL>")
-    docs.select(col(idCol),
+    // two regex passes over every byte of text: run them at kernel
+    // parallelism (map-only before and after — the spread is the only
+    // exchange, and a no-op when the scan has >= cores splits)
+    Spread.forKernels(docs).select(col(idCol),
         size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
           .cast("long").as("n_email"),
         afterEmail.as("__t"))

@@ -274,7 +274,7 @@ object Dedup {
   def embedNearDupPairs(corpus: DataFrame, dim: Int, bits: Int = 8,
                         tau: Double = 0.99): DataFrame = {
     val b = materialize( // self-joined: both sides read the cache
-      corpus.withColumn("bucket", Ann.lshBucket(col("vec"), dim, bits)))
+      Spread.forKernels(corpus).withColumn("bucket", Ann.lshBucket(col("vec"), dim, bits)))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
       .select(col("a.vid").as("vid_a"), col("b.vid").as("vid_b"),

@@ -101,9 +101,9 @@ object Knn {
     * FALLBACK SCANS ARE PRUNED (round-4 verdict #1 — the last full-corpus
     * rescan): the level-2 retry only ever matches points inside the
     * uncertified queries' 3×3 cells at z−2 (≤ 9·|rest| cells, bounded by
-    * QUERIES, not points), so those cells are collected and pushed into
-    * the points scan as a lon/lat range predicate (parquet row-group
-    * pruning) + an exact cell IN-set; the brute remainder is bounded by
+    * QUERIES, not points), so the points feed through a broadcast
+    * semi-join on that cell set (plan-side, no driver barrier — round-6
+    * verdict #3); the brute remainder is bounded by
     * each query's kth-candidate distance from the failed certification
     * (the kd-tree iterator's best-first rule applied to the scan:
     * nearest_neighbor_iterator.go:98-189 — never examine what cannot be
@@ -120,56 +120,45 @@ object Knn {
     }
   }
 
-  /** Cap on the collected candidate-cell set (9 cells per uncertified
-    * query, deduped). The set is bounded by |queries|; the cap only guards
-    * the pathological everything-uncertified case, where pruning buys
-    * nothing anyway — over the cap the scan is left unpruned.
-    */
-  private val MaxPruneCells = 65536
-
   /** Restrict `points` to the rows the z-level candidate join can match:
     * the 3×3 neighborhood cells of `queries` at zoom `z`. EXACTNESS-
     * NEUTRAL by construction — knnLevel joins on exactly these cells, so
     * rows outside them never reach the output; this just keeps them out
-    * of the scan. Two predicates: a lon/lat range over the cell bounding
-    * box (±1 tile slack for the lon2Num ε-nudge) that parquet row-group
-    * stats can prune, and the exact cell IN-set (an InSet once past the
-    * 10-value threshold) that drops the remainder before the join.
+    * of the join.
+    *
+    * ROUND 7 (round-6 verdict #3): the cell set is now a BROADCAST
+    * SEMI-JOIN inside the plan instead of a driver-collected IN-set +
+    * literal lon/lat range. The old collect() was a job BARRIER — it
+    * eagerly ran the whole previous level's chain and serialized one
+    * full Spark job (driver round-trip included) before the main query
+    * started; the builder's Amdahl fit put those barriers at 65% of the
+    * ×48-tier 32-core wall (S ≈ 20 s fixed). As a plan-side semi-join the
+    * level chain executes as ONE job. The trade: the literal range
+    * predicates no longer reach parquet row-group stats, so the fallback
+    * level re-SCANS the corpus (map-side, no shuffle — the semi-join
+    * still drops non-candidate rows before the expensive candidate join).
+    * The broadcast build is bounded by 9·|uncertified queries| packed
+    * longs — the same "queries are the small side" contract the
+    * broadcast brute-force pass already relies on.
     */
   private[graft] def prunePointsToQueryCells(points: DataFrame, queries: DataFrame,
                                                  z: Int): DataFrame = {
     val maxT = (1L << z) - 1
-    val cellRows = queries.select(
+    val cells = queries.select(
         st_lon2tile(col("qlon"), lit(z)).as("qtx"),
         st_lat2tile(col("qlat"), lit(z)).as("qty"))
       .select(explode(array((-1 to 1).flatMap(dx => (-1 to 1).map(dy =>
         struct((col("qtx") + dx).as("tx"), (col("qty") + dy).as("ty")))): _*)).as("nb"))
       .select(col("nb.tx").as("tx"), col("nb.ty").as("ty"))
       .filter(col("tx") >= 0 && col("tx") <= maxT && col("ty") >= 0 && col("ty") <= maxT)
-      .distinct()
-      .limit(MaxPruneCells + 1)
-      .collect()
-    if (cellRows.length > MaxPruneCells) return points
-    if (cellRows.isEmpty) return points.filter(lit(false)) // no queries ⇒ empty level
-    val txs = cellRows.map(_.getLong(0))
-    val tys = cellRows.map(_.getLong(1))
-    // ±1-tile slack keeps the range a strict superset of the IN-set under
-    // the ε-nudge in lon2Num/lat2Num; a side whose BOUNDARY row/col is in
-    // the set stays OPEN — out-of-range coordinates clamp into row 0/maxT
-    // (Slippy.scala:47-65), so e.g. lat=89 legitimately lives in ty=0 and
-    // must not be range-filtered away
-    import graft.core.Slippy.{x2deg, y2deg}
-    val rangePred = Seq(
-      if (txs.min > 0) Some(col("lon") >= x2deg(z, (txs.min - 1).toInt)) else None,
-      if (txs.max < maxT) Some(col("lon") <= x2deg(z, (txs.max + 2).toInt)) else None,
-      if (tys.min > 0) Some(col("lat") <= y2deg(z, (tys.min - 1).toInt)) else None,
-      if (tys.max < maxT) Some(col("lat") >= y2deg(z, (tys.max + 2).toInt)) else None
-    ).flatten.reduceOption(_ && _).getOrElse(lit(true))
-    val cellSet: Seq[Any] = txs.zip(tys).map { case (tx, ty) => (tx << z) | ty }.toSeq
-    points
-      .filter(rangePred)
-      .filter(shiftleft(st_lon2tile(col("lon"), lit(z)), z)
-        .bitwiseOR(st_lat2tile(col("lat"), lit(z))).isin(cellSet: _*))
+      // no distinct(): a LEFT SEMI probe is insensitive to duplicate build
+      // keys, and dropping the aggregate keeps the build side map-only
+      // (zero Exchange anywhere in the prune)
+      .select(shiftleft(col("tx"), z).bitwiseOR(col("ty")).as("__qcell"))
+    points.join(broadcast(cells),
+      shiftleft(st_lon2tile(col("lon"), lit(z)), z)
+        .bitwiseOR(st_lat2tile(col("lat"), lit(z))) === col("__qcell"),
+      "left_semi")
   }
 
   /** Spill-safe materialization for the bounded per-level frames. The
@@ -199,58 +188,58 @@ object Knn {
     * produced the bound all pass the filter, and any point beyond it
     * loses to all k of them. Unbounded queries (< k candidates even at
     * the coarsest level — a near-empty corpus region) keep the full scan.
+    * All branches are plan-side (no driver actions); empty branches
+    * collapse at runtime via AQE empty-relation propagation.
     */
   private def bruteForce(queries: DataFrame, points: DataFrame, k: Int): DataFrame = {
     if (!queries.columns.contains("bound_d2"))
       return bruteFull(queries, points, k)
     // `queries` (the uncertified remainder) arrives PERSISTED from
-    // knnLevel — the two driver probes below and the broadcast all read
-    // the cache instead of re-deriving the level chain (an unpersisted
-    // remainder cost one full queries-side scan PER consumer — measured
-    // +600k scan rows on q12 at sf0.1)
+    // knnLevel — its several plan-side consumers below read the cache
+    // instead of re-deriving the level chain.
     val bounded = queries.filter(col("bound_d2").isNotNull)
     val unbounded = queries.filter(col("bound_d2").isNull).drop("bound_d2")
-    // driver-side disc-box union: ONE bounded-size agg over the (small,
-    // query-bounded) frame — the literals let parquet prune the scan.
-    // A null box also means "no bounded queries": skip that branch.
+    // ROUND 7 (round-6 verdict #3): the disc-box union used to be a
+    // driver-side .head() and the empty-remainder check a driver-side
+    // .isEmpty() — two more serialized job barriers before the main job.
+    // Both are now IN the plan:
+    //   - the box is a grouped aggregate (groupBy(lit) ⇒ ZERO rows when
+    //     `bounded` is empty, one row otherwise) broadcast into a
+    //     nested-loop range filter over the points — when no bounded
+    //     query exists, AQE's empty-relation propagation collapses the
+    //     branch and the points scan for it never runs;
+    //   - the unbounded full-corpus brute branch is always planned, and
+    //     the same AQE rule collapses it when the broadcast query side
+    //     turns out empty (the common case).
+    // The trade (as in prunePointsToQueryCells): the box literals no
+    // longer reach parquet row-group stats when the branch IS taken.
     val r = sqrt(col("bound_d2"))
-    val box = bounded.agg(
-      min(col("qlon") - r), max(col("qlon") + r),
-      min(col("qlat") - r), max(col("qlat") + r)).head()
-    val boundedTop =
-      if (box.isNullAt(0)) None
-      else {
-        val prunedPts = points.filter(
-          col("lon") >= box.getDouble(0) && col("lon") <= box.getDouble(1) &&
-          col("lat") >= box.getDouble(2) && col("lat") <= box.getDouble(3))
-        val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
-          (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
-        val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
-        Some(prunedPts.join(broadcast(bounded), col("qid") =!= col("pid"))
-          .select(col("qid"), col("pid").as("nid"), d2.as("dist2"), col("bound_d2"))
-          .filter(col("dist2") <= col("bound_d2"))
-          .select(col("qid"), col("nid"), col("dist2"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= k))
-      }
-    // the unbounded remainder (< k candidates even at the coarse level) is
-    // almost always EMPTY — check the cached frame so the full-corpus
-    // brute scan is only planned when a query actually needs it
-    val fullTop =
-      if (unbounded.isEmpty) None else Some(bruteFull(unbounded, points, k))
-    (boundedTop, fullTop) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None)    => a
-      case (None, Some(b))    => b
-      case (None, None)       => // statically empty, schema-preserving
-        bruteFull(queries.drop("bound_d2").filter(lit(false)), points.filter(lit(false)), k)
-    }
+    val box = bounded.groupBy(lit(1).as("__one")).agg(
+      min(col("qlon") - r).as("__bxmin"), max(col("qlon") + r).as("__bxmax"),
+      min(col("qlat") - r).as("__bymin"), max(col("qlat") + r).as("__bymax"))
+    val prunedPts = points.join(broadcast(box),
+        col("lon") >= col("__bxmin") && col("lon") <= col("__bxmax") &&
+        col("lat") >= col("__bymin") && col("lat") <= col("__bymax"), "inner")
+      .drop("__one", "__bxmin", "__bxmax", "__bymin", "__bymax")
+    val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
+      (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
+    val boundedTop = prunedPts.join(broadcast(bounded), col("qid") =!= col("pid"))
+      .select(col("qid"), col("pid").as("nid"), d2.as("dist2"), col("bound_d2"))
+      .filter(col("dist2") <= col("bound_d2"))
+      .select(col("qid"), col("nid"), col("dist2"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    boundedTop.unionByName(bruteFull(unbounded, points, k))
   }
 
   private def bruteFull(queries: DataFrame, points: DataFrame, k: Int): DataFrame = {
     val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
       (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist2").asc, col("nid").asc)
+    // NO spread here: a repartition below this join would become an
+    // eagerly-materialized AQE shuffle stage, defeating the empty-build
+    // collapse that skips this (usually empty) fallback's corpus scan
     points.join(broadcast(queries), col("qid") =!= col("pid"))
       .select(col("qid"), col("pid").as("nid"), d2.as("dist2"))
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -273,7 +262,11 @@ object Knn {
               col("nb.ty") >= 0 && col("nb.ty") <= maxT)
       .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
         col("nb.tx").as("tx"), col("nb.ty").as("ty"))
-    val p = points.select(col("pid"), col("lon"), col("lat"),
+    // the candidate probe + partial top-k is the operator's hot stage;
+    // without the conditional spread it runs at SCAN parallelism (3 tasks
+    // for the single-file local corpus — measured 12.9 s serial CPU on
+    // q21 at sf0.1, the whole query wall). No-op when splits >= cores.
+    val p = Spread.forKernels(points).select(col("pid"), col("lon"), col("lat"),
       st_lon2tile(col("lon"), lit(z)).as("tx"),
       st_lat2tile(col("lat"), lit(z)).as("ty"))
     // One shuffle on (tx,ty) for the candidate join, then ONE window

@@ -39,6 +39,30 @@ object SpatialJoin {
     */
   val DefaultCoverCap = 64
 
+  /** Row bound under which a join side takes the BROADCAST plan (round-6
+    * verdict #4: reclaim the bounded-cover plans' constant cost when
+    * footer stats prove a side small). Decided from parquet FOOTER
+    * metadata only — no Spark job, no scan: a side qualifies when it is a
+    * (projection of a) bare parquet scan of few files whose exact footer
+    * row count is under the limit; anything unprovable (filtered frames,
+    * many files) takes the shuffle plan. Conf-tunable for deployments
+    * whose executors can hold bigger builds; 65536 rows × ≤64 cover cells
+    * × ~48 B ≈ 200 MB worst-case broadcast, well under the 8 GB cap.
+    */
+  val DefaultBroadcastRowLimit = 65536L
+  private val MaxBroadcastFiles = 64
+
+  private def broadcastRowLimit(df: DataFrame): Long =
+    df.sparkSession.conf
+      .get("spark.graft.spatialjoin.broadcastRows", DefaultBroadcastRowLimit.toString).toLong
+
+  /** true iff footer metadata PROVES `df` has ≤ `limit` rows. */
+  private def provablySmall(df: DataFrame, limit: Long): Boolean = {
+    val files = df.inputFiles
+    files.nonEmpty && files.length <= MaxBroadcastFiles &&
+      graft.sources.Footers.exactRowCount(df).exists(_ <= limit)
+  }
+
   /** distinct adaptive cover zooms present in `df` — a bbox-columns-only
     * aggregate (column-pruned scan, map-side combine), collected at
     * plan-build time so the probe side replicates only to levels some
@@ -85,24 +109,49 @@ object SpatialJoin {
 
     val zoomCol = st_cover_zoom(col(minxCol), col(minyCol),
       col(maxxCol), col(maxyCol), lit(zz), lit(cap))
-    val levels = usedLevels(polys, zoomCol)
 
     // index side: id + bbox only — the geometry never rides the cover
     val idx = polys.select(col(idCol), col(minxCol), col(minyCol),
         col(maxxCol), col(maxyCol))
       .withColumn("__cell", explode(st_tiles_for_bounds(
         col(minxCol), col(minyCol), col(maxxCol), col(maxyCol), zoomCol)))
-    val pts = points.withColumn("__cell", explode(st_cover_at_levels(
-      col(lonCol), col(latCol), col(lonCol), col(latCol), typedLit(levels))))
 
-    val candidates = pts.join(idx, Seq("__cell"), "inner")
-      .filter(col(lonCol) >= col(minxCol) && col(lonCol) <= col(maxxCol) &&
-              col(latCol) >= col(minyCol) && col(latCol) <= col(maxyCol))
-      .select(ptCols :+ col(idCol): _*)
+    if (provablySmall(polys, broadcastRowLimit(polys))) {
+      // BROADCAST fast path (round-6 verdict #4): when footer stats bound
+      // the polygon side small, broadcast the bounded cover index and the
+      // geometry lookup — the points side is NEVER exchanged and there are
+      // ZERO plan-build jobs (no usedLevels collect): the points probe
+      // with their full ancestor LADDER (coverLevels(zz), ~zz/2 cells per
+      // point, map-only — a shuffle-free superset of whatever level set
+      // the polygons actually use; unmatched levels simply find no build
+      // rows). Pair-unique as before: a polygon covers at ONE level, a
+      // point has ONE ancestor per level.
+      val lvls = graft.core.Slippy.coverLevels(zz).toArray
+      val pts = Spread.forKernels(points).withColumn("__cell",
+        explode(st_cover_at_levels(
+          col(lonCol), col(latCol), col(lonCol), col(latCol), typedLit(lvls))))
+      val candidates = pts.join(broadcast(idx), Seq("__cell"), "inner")
+        .filter(col(lonCol) >= col(minxCol) && col(lonCol) <= col(maxxCol) &&
+                col(latCol) >= col(minyCol) && col(latCol) <= col(maxyCol))
+        .select(ptCols :+ col(idCol): _*)
+      candidates
+        .join(broadcast(polys.drop(minxCol, minyCol, maxxCol, maxyCol)), Seq(idCol), "inner")
+        .filter(st_contains(col(polyCol), col(lonCol), col(latCol)))
+        .select(ptCols ++ polyOut: _*)
+    } else {
+      val levels = usedLevels(polys, zoomCol)
+      val pts = points.withColumn("__cell", explode(st_cover_at_levels(
+        col(lonCol), col(latCol), col(lonCol), col(latCol), typedLit(levels))))
 
-    candidates.join(polys.drop(minxCol, minyCol, maxxCol, maxyCol), Seq(idCol), "inner")
-      .filter(st_contains(col(polyCol), col(lonCol), col(latCol)))
-      .select(ptCols ++ polyOut: _*)
+      val candidates = pts.join(idx, Seq("__cell"), "inner")
+        .filter(col(lonCol) >= col(minxCol) && col(lonCol) <= col(maxxCol) &&
+                col(latCol) >= col(minyCol) && col(latCol) <= col(maxyCol))
+        .select(ptCols :+ col(idCol): _*)
+
+      candidates.join(polys.drop(minxCol, minyCol, maxxCol, maxyCol), Seq(idCol), "inner")
+        .filter(st_contains(col(polyCol), col(lonCol), col(latCol)))
+        .select(ptCols ++ polyOut: _*)
+    }
   }
 
   /** The unbounded flat-cover control for the replication A/B (the round-4
@@ -162,9 +211,11 @@ object SpatialJoin {
       else math.min(16, math.max(0, math.floor(
         math.log(360.0 / radius) / math.log(2.0)).toInt))
     val zz = if (z >= 0) z else math.min(Knn.zoomForPlan(right), radiusZ)
-    val r = right.withColumn("__cell",
+    // conditional kernel spread (no-op when splits >= cores): the pair
+    // verify after the join runs at the probe side's parallelism
+    val r = Spread.forKernels(right).withColumn("__cell",
       st_cell_at(col(lonR), col(latR), lit(zz)))
-    val l = left.withColumn("__cell", explode(st_tiles_for_bounds(
+    val l = Spread.forKernels(left).withColumn("__cell", explode(st_tiles_for_bounds(
       col(lonL) - radius, col(latL) - radius,
       col(lonL) + radius, col(latL) + radius, lit(zz))))
     val d2 = (col(lonL) - col(lonR)) * (col(lonL) - col(lonR)) +
@@ -210,23 +261,6 @@ object SpatialJoin {
       lit(zz), lit(cap))
     val zbCol = st_cover_zoom(col(bMinx), col(bMiny), col(bMaxx), col(bMaxy),
       lit(zz), lit(cap))
-    val usedA = usedLevels(a, zaCol)
-    val usedB = usedLevels(b, zbCol)
-
-    // a row's emission levels: min(own zoom, each level the OTHER side
-    // uses) — covers shrink 4× per coarser step, so the row total is
-    // ≤ cap + cap/16 + … even when the other side spans every level
-    def levelsFor(own: org.apache.spark.sql.Column, other: Array[Int]) =
-      array_distinct(transform(typedLit(other), o => least(own, o)))
-
-    val ea = a.withColumn("__za", zaCol)
-      .withColumn("__cell", explode(st_cover_at_levels(
-        col(aMinx), col(aMiny), col(aMaxx), col(aMaxy),
-        levelsFor(col("__za"), usedB))))
-    val eb = b.withColumn("__zb", zbCol)
-      .withColumn("__cell", explode(st_cover_at_levels(
-        col(bMinx), col(bMiny), col(bMaxx), col(bMaxy),
-        levelsFor(col("__zb"), usedA))))
 
     val overlap =
       col(aMinx) <= col(bMaxx) && col(bMinx) <= col(aMaxx) &&
@@ -234,9 +268,58 @@ object SpatialJoin {
     val reportingCell = st_cell_at(
       greatest(col(aMinx), col(bMinx)), least(col(aMaxy), col(bMaxy)),
       least(col("__za"), col("__zb")))
-    ea.join(eb, Seq("__cell"), "inner")
-      .filter(overlap && col("__cell") === reportingCell)
-      .select((a.columns.map(col) ++ b.columns.map(col)).toIndexedSeq: _*)
+    val outCols = (a.columns.map(col) ++ b.columns.map(col)).toIndexedSeq
+
+    val limit = broadcastRowLimit(a)
+    val smallA = provablySmall(a, limit)
+    val smallB = !smallA && provablySmall(b, limit)
+    if (smallA || smallB) {
+      // BROADCAST fast path (round-6 verdict #4): one side's footer stats
+      // bound it small — broadcast that side and drop BOTH plan-build
+      // usedLevels jobs and the shuffle. Each side emits its cover at
+      // EVERY ladder level ≤ its own zoom (geometrically shrinking, so
+      // ≤ cap·16/15 + #levels cells per row, map-only); a pair then meets
+      // at every common level ≤ min(za, zb) and the reporting-cell rule
+      // (which pins level min(za, zb)) keeps exactly one meeting — the
+      // same dedupe invariant as the shuffle plan below.
+      val lvls = graft.core.Slippy.coverLevels(zz).toArray
+      def ladderUpTo(own: org.apache.spark.sql.Column) =
+        filter(typedLit(lvls), lv => lv <= own)
+      val ea0 = (if (smallA) a else Spread.forKernels(a)).withColumn("__za", zaCol)
+        .withColumn("__cell", explode(st_cover_at_levels(
+          col(aMinx), col(aMiny), col(aMaxx), col(aMaxy), ladderUpTo(col("__za")))))
+      val eb0 = (if (smallB) b else Spread.forKernels(b)).withColumn("__zb", zbCol)
+        .withColumn("__cell", explode(st_cover_at_levels(
+          col(bMinx), col(bMiny), col(bMaxx), col(bMaxy), ladderUpTo(col("__zb")))))
+      val joined =
+        if (smallB) ea0.join(broadcast(eb0), Seq("__cell"), "inner")
+        else broadcast(ea0).join(eb0, Seq("__cell"), "inner")
+      joined
+        .filter(overlap && col("__cell") === reportingCell)
+        .select(outCols: _*)
+    } else {
+      val usedA = usedLevels(a, zaCol)
+      val usedB = usedLevels(b, zbCol)
+
+      // a row's emission levels: min(own zoom, each level the OTHER side
+      // uses) — covers shrink 4× per coarser step, so the row total is
+      // ≤ cap + cap/16 + … even when the other side spans every level
+      def levelsFor(own: org.apache.spark.sql.Column, other: Array[Int]) =
+        array_distinct(transform(typedLit(other), o => least(own, o)))
+
+      val ea = a.withColumn("__za", zaCol)
+        .withColumn("__cell", explode(st_cover_at_levels(
+          col(aMinx), col(aMiny), col(aMaxx), col(aMaxy),
+          levelsFor(col("__za"), usedB))))
+      val eb = b.withColumn("__zb", zbCol)
+        .withColumn("__cell", explode(st_cover_at_levels(
+          col(bMinx), col(bMiny), col(bMaxx), col(bMaxy),
+          levelsFor(col("__zb"), usedA))))
+
+      ea.join(eb, Seq("__cell"), "inner")
+        .filter(overlap && col("__cell") === reportingCell)
+        .select(outCols: _*)
+    }
   }
 
   /** PIP join over PRE-BUCKETED catalog tables — the zero-exchange form

@@ -81,7 +81,16 @@ object CatalogIO {
     catch {
       case e: org.apache.spark.sql.AnalysisException if isUnsupportedReplace(e) =>
         clearOrphanLocation(df.sparkSession, ident)
-        df.write.format("parquet")
+        // hash-distribute by the bucket column BEFORE the bucketed write
+        // (the Iceberg write.distribution-mode=hash analogue): V1 bucketBy
+        // does not shuffle, so each input task would otherwise write one
+        // file per bucket it touches — numTasks×numBuckets small files and
+        // write parallelism pinned to the upstream split count (3 tasks on
+        // the local single-file scan). repartition's hash IS the bucket
+        // hash (both pmod(Murmur3)), so each of the numBuckets tasks holds
+        // exactly one bucket: one file per bucket, numBuckets-way write.
+        df.repartition(numBuckets, col(bucketCol))
+          .write.format("parquet")
           .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
           .mode("overwrite").saveAsTable(ident)
     }

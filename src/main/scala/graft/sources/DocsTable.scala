@@ -61,7 +61,10 @@ object DocsTable {
     * Returns (doc_id, span_offset, geom_wkb, lon, lat for points).
     */
   def extractGeometries(docs: DataFrame): DataFrame = {
-    docs
+    // the WKT parse (and everything downstream of it — tile covers, the
+    // makevalid kernel) runs at this frame's partitioning; spread it when
+    // the backing scan has fewer splits than cores (no-op at scale)
+    graft.operators.Spread.forKernels(docs)
       .select(col("doc_id"), explode(col("spans")).as("span"))
       .filter(col("span.kind") === "wkt")
       .select(

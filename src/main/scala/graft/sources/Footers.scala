@@ -11,13 +11,40 @@ import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LogicalPlan, Proje
   * footers because a zoom pick only needs ~2× precision), this reads ALL
   * footers — the value feeds score arithmetic and must be exact.
   *
-  * Footers are read on a bounded driver thread pool (16 threads): at the
-  * 100 TB design point (~10^5 files) that is tens of seconds of metadata
-  * I/O once per query plan, against a full-corpus scan job otherwise.
+  * Footers are read on a bounded driver thread pool (16 threads) up to
+  * `spark.graft.footers.distributedThreshold` files (default 4096);
+  * beyond that — the 100 TB design point is ~10^5 files, tens of seconds
+  * of serialized driver metadata I/O — the counting moves into ONE tiny
+  * Spark job over the FILE LIST (round-6 verdict #6: the last driver-side
+  * O(files) term). The job reads footers only, never data pages.
   */
 object Footers {
 
   private val PoolSize = 16
+
+  private def distributedThreshold(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.footers.distributedThreshold", "4096").toInt
+
+  /** footer counts via a Spark job over the file list — driver work is
+    * O(1), footer I/O is cluster-wide. None on any failure (same
+    * count() -fallback contract as the pool path).
+    */
+  private def distributedRowCount(spark: org.apache.spark.sql.SparkSession,
+                                  files: Array[String]): Option[Long] = scala.util.Try {
+    val bc = spark.sparkContext.broadcast(
+      org.apache.spark.graftshim.HadoopConf.serializable(
+        spark.sessionState.newHadoopConf()))
+    val slices = math.max(1, math.min(files.length,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(files.toIndexedSeq, slices)
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), bc.value.value)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }
+      .fold(0L)(_ + _)
+  }.toOption
 
   /** true iff every node between the plan root and its leaves preserves
     * row count (Project/alias only) — a Filter, Limit, Sample, Join,
@@ -36,6 +63,8 @@ object Footers {
     if (!countPreserving(df.queryExecution.optimizedPlan)) return None
     val files = df.inputFiles
     if (files.isEmpty || !files.forall(_.endsWith(".parquet"))) return None
+    if (files.length > distributedThreshold(df.sparkSession))
+      return distributedRowCount(df.sparkSession, files)
     val conf = df.sparkSession.sessionState.newHadoopConf()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(PoolSize, files.length))
@@ -50,7 +79,11 @@ object Footers {
           }
         })
       }
-      Some(futs.map(_.get()).sum)
+      // any footer-read failure (file deleted between planning and read,
+      // corrupt footer, transient FS error) means "no exact count" — the
+      // documented contract is that callers fall back to df.count(), so
+      // return None instead of propagating (round-6 advice)
+      scala.util.Try(futs.map(_.get()).sum).toOption
     } finally pool.shutdown()
   }
 }

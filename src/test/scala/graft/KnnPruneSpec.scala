@@ -87,14 +87,43 @@ class KnnPruneSpec extends AnyFunSuite {
     val gotIds = pruned.select("pid").collect().map(_.getLong(0)).toSet
     assert(gotIds == expected, s"pruned cell membership wrong: $gotIds vs $expected")
     assert(gotIds.size < sparsePts.count(), "pruning did not reduce the scan")
-    // plan-level evidence: lon/lat range predicates reach the parquet scan
-    // (read from the scan node's metadata — plan.toString elides the list)
-    val pushed = pruned.queryExecution.executedPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.flatMap(_.metadata.get("PushedFilters")).mkString
-    assert(pushed.contains("GreaterThanOrEqual(lon") && pushed.contains("LessThanOrEqual(lon") &&
-      pushed.contains("GreaterThanOrEqual(lat") && pushed.contains("LessThanOrEqual(lat"),
-      s"range predicates not pushed to the scan: $pushed")
+    // plan-level evidence (round 7): the prune is a BROADCAST semi-join
+    // inside the plan — no driver collect barrier, and the points side
+    // carries no Exchange (the semi-join must not shuffle the corpus)
+    // (string match: the executedPlan root is AdaptiveSparkPlanExec, whose
+    // TreeNode.collect does not descend into the wrapped plan)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi prune join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the semi-join prune must not shuffle the points:\n$plan")
+  }
+
+  test("prune plan construction launches no Spark jobs (collect barrier gone)") {
+    val pts = sparsePts
+    import spark.implicits._
+    val qs = Seq((1L, 10.0, 20.0), (2L, -60.0, -30.0)).toDF("qid", "qlon", "qlat")
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      // building the FULL expanding chain (levels + brute fallback) must be
+      // lazy: the old IN-set collect / disc-box head() / isEmpty() barriers
+      // each ran a serialized job here, before any action
+      val df = Knn.knnJoin(qs, pts, k = 3, z = 10)
+      org.apache.spark.graftshim.ListenerDrain.waitUntilEmpty(spark.sparkContext)
+      assert(jobs.get() == 0,
+        s"plan construction ran ${jobs.get()} Spark job(s) — a collect barrier is back")
+      // and the plan still computes the exact result once acted on
+      val want = bruteKnn(qs, pts, 3)
+      assert(df.exceptAll(want).count() == 0 && want.exceptAll(df).count() == 0)
+    } finally {
+      spark.sparkContext.removeSparkListener(l)
+      graft.operators.CacheBin.drain()
+    }
   }
 
   test("boundary cells leave their range side OPEN (clamped coords survive)") {

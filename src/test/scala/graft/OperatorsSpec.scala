@@ -182,11 +182,15 @@ class OperatorsSpec extends AnyFunSuite {
       .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
     // emulate the target regime — a polygon side too large to broadcast —
     // by disabling the broadcast thresholds (at test scale Catalyst would
-    // otherwise rightly broadcast the tiny regions table)
+    // otherwise rightly broadcast the tiny regions table) AND the round-7
+    // footer-stats fast path (which would correctly pick the broadcast
+    // plan for the 25-row parquet-backed regions table)
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
-    saved.foreach { case (k, _) => conf.set(k, "-1") }
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.graft.spatialjoin.broadcastRows").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) =>
+      conf.set(k, if (k.endsWith("broadcastRows")) "0" else "-1") }
     try {
       val got = SpatialJoin.pipJoin(pts, "lon", "lat", regions, "region_id", "poly", z = 5)
         .select(col("pid"), col("region_id"))
@@ -212,6 +216,55 @@ class OperatorsSpec extends AnyFunSuite {
     }
     // derived-zoom entry point also runs (bounded footer sampling)
     assert(SpatialJoin.pipJoin(pts, "lon", "lat", regions, "region_id", "poly").limit(1).count() >= 0)
+  }
+
+  test("pipJoin dispatch: footer-small polygon side takes the broadcast plan, unprovable side the shuffle plan") {
+    import graft.functions.GeomFunctions._
+    import spark.implicits._
+    val pts = graft.sources.Synth.points(spark, dir)
+    val regions = graft.sources.Synth.regions(spark, dir)
+      .withColumn("poly", st_box_polygon(col("minx"), col("miny"), col("maxx"), col("maxy")))
+    // parquet-backed 25-row regions: footer stats PROVE the side small →
+    // broadcast plan, no shuffle-join exchange, and results identical to
+    // the q03 broadcast reference
+    val fast = SpatialJoin.pipJoin(pts, "lon", "lat", regions, "region_id", "poly", z = 5)
+      .select(col("pid"), col("region_id"))
+    fast.count()
+    val fastPlan = fast.queryExecution.executedPlan.toString
+    assert(fastPlan.contains("BroadcastHashJoin"),
+      s"footer-small side did not take the broadcast plan:\n$fastPlan")
+    assert(!fastPlan.contains("SortMergeJoin"),
+      s"broadcast fast path still shuffle-joins:\n$fastPlan")
+    val regB = regions.withColumn("cell5", explode(
+      st_tiles_for_bounds(col("minx"), col("miny"), col("maxx"), col("maxy"), lit(5))))
+    val want = pts.withColumn("cell5", st_cell_at(col("lon"), col("lat"), lit(5)))
+      .join(broadcast(regB), Seq("cell5"), "inner")
+      .filter(st_contains(col("poly"), col("lon"), col("lat")))
+      .select(col("pid"), col("region_id"))
+    assert(fast.exceptAll(want).count() == 0 && want.exceptAll(fast).count() == 0,
+      "broadcast fast path diverges from the q03 reference plan")
+    // an in-memory polys frame has NO footer proof → the shuffle plan
+    // (the 100 TB default) must fire even though the side is tiny
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    saved.foreach { case (k, _) => conf.set(k, "-1") }
+    try {
+      val memPolys = regions.collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getAs[Array[Byte]]("poly")))
+        .toDF("region_id", "minx", "miny", "maxx", "maxy", "poly")
+      val slow = SpatialJoin.pipJoin(pts, "lon", "lat", memPolys, "region_id", "poly", z = 5)
+        .select(col("pid"), col("region_id"))
+      slow.count()
+      val slowPlan = slow.queryExecution.executedPlan.toString
+      assert(slowPlan.contains("SortMergeJoin") || slowPlan.contains("ShuffledHashJoin"),
+        s"unprovable side skipped the shuffle plan:\n$slowPlan")
+      assert(slow.exceptAll(want).count() == 0 && want.exceptAll(slow).count() == 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
   }
 
   test("distance join: exact pairs vs naive cross, pair-unique, disc-cover replication") {
@@ -945,6 +998,19 @@ class OperatorsSpec extends AnyFunSuite {
       assert(jobs.get() == 0, s"tfidf construction ran ${jobs.get()} jobs; N must be footer-derived")
       assert(built.limit(1).count() >= 0) // still executable
     } finally spark.sparkContext.removeSparkListener(l)
+    // DISTRIBUTED branch (round-6 verdict #6): past the file-count
+    // threshold the count moves into a Spark job over the file list —
+    // same exact number as the driver-pool branch
+    val tmp = java.nio.file.Files.createTempDirectory("footers").toString
+    docs.limit(10).repartition(3).write.mode("overwrite").parquet(s"$tmp/many")
+    val many = spark.read.parquet(s"$tmp/many")
+    val poolCount = graft.sources.Footers.exactRowCount(many)
+    spark.conf.set("spark.graft.footers.distributedThreshold", "1")
+    try {
+      val distCount = graft.sources.Footers.exactRowCount(many)
+      assert(distCount == poolCount && distCount.contains(many.count()),
+        s"distributed footer count diverged: $distCount vs $poolCount")
+    } finally spark.conf.unset("spark.graft.footers.distributedThreshold")
   }
 
   test("spatial joins on seeded random data incl. polar clamp and antimeridian") {
@@ -1122,6 +1188,34 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(x => x.getAs[Long]("event_id") ->
         Option(x.getAs[java.lang.Long]("view_id")).map(_.toLong)).toMap
     assert(gt(100L).contains(901L) && gt(101L).isEmpty && gt(102L).contains(903L))
+  }
+
+  test("as-of horizon on TimestampNTZ is session-zone independent across a DST transition") {
+    import spark.implicits._
+    // round-6 advice: casting NTZ through TimestampType embeds the
+    // session-zone offset AT EACH VALUE — across the US spring-forward
+    // (2024-03-10 02:00 local skips to 03:00) the left row (EDT) and the
+    // matched right row (EST) would carry offsets an hour apart, making a
+    // 90-minute wall-clock gap read as 30 minutes. The wall-clock delta
+    // between 01:30 and 03:00 is 90 min = 5_400_000_000 µs and must be
+    // the horizon semantics in EVERY session zone.
+    val savedTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val right = Seq((1L, "2024-03-10 01:30:00", 900L, 7.0))
+        .toDF("user_id", "ts", "view_id", "view_value")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      val left = Seq((100L, 1L, "2024-03-10 03:00:00"))
+        .toDF("event_id", "user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      def matched(horizon: Long): Long =
+        AsOf.asofJoinWithin(left, right, "user_id", "ts", "view_id", horizon)
+          .filter(col("view_id").isNotNull).count()
+      assert(matched(5400000000L) == 1L, "gap == horizon (90 min wall) must match")
+      assert(matched(5399999999L) == 0L,
+        "gap 90 min wall must NOT fit a sub-90-min horizon — the old " +
+        "session-zone cast read it as 30 min and matched")
+    } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
   }
 
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
