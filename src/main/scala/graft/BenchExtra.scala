@@ -81,9 +81,12 @@ object BenchExtra {
         spark.sparkContext.addSparkListener(acc)
         spark.sparkContext.setJobDescription(s"$q rep$i")
         val t0 = System.nanoTime()
-        try SparkEntry.queries(q)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[extra] $q failed: $e") }
+        try {
+          val df = SparkEntry.queries(q)(spark, sfDir)
+          df.write.format("noop").mode("overwrite").save()
+          if (sys.env.contains("SPARK_GRAFT_EXPLAIN") && i == 1)
+            System.err.println(s"[plan:$q]\n${df.queryExecution.executedPlan}")
+        } catch { case e: Throwable => System.err.println(s"[extra] $q failed: $e") }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         org.apache.spark.graftshim.ListenerDrain.waitUntilEmpty(spark.sparkContext)

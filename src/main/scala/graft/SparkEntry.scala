@@ -95,6 +95,14 @@ object SparkEntry {
     * the command stream).
     */
   def q33Input(s: SparkSession, dir: String): DataFrame = {
+    // NOTE (round 7, measured): do NOT move the pid dedup of q43/q45 below
+    // this builder's geometry expressions. With the aggregate under the
+    // WKT build, every generated column is a pure function of the GROUP
+    // KEY, so Catalyst pushes mvtPrep's env-isnotnull filter — with the
+    // whole WKT+parse+makevalid tree inlined — through the aggregate and
+    // exchange down to the SCAN: makevalid ran on all 600k pre-dedup rows
+    // at scan parallelism (3 tasks), 3.7 s -> 45 s. Dedup-after-build is
+    // load-bearing: the aggregate output column is a pushdown barrier.
     val base = spread(Synth.points(s, dir).select(col("pid")))
       .withColumn("z9", lit(9))
       .withColumn("tx", col("pid") * 7 % 512)
@@ -580,9 +588,15 @@ object SparkEntry {
       import s.implicits._
       // the synthetic lineitem carries duplicate (orderkey, linenumber)
       // rows -> duplicate pids; identical duplicates collapse (the sink
-      // joins on pid, which would cross-multiply them)
+      // joins on pid, which would cross-multiply them). The explicit-N
+      // repartition before the dedup pins the downstream makevalid + tile
+      // prep stage at full parallelism — AQE coalesced the small dedup
+      // exchange to 16 tasks although its downstream is CPU-bound (2.1 s
+      // -> 0.7 s wall on that stage), and dedup reuses the partitioning
+      // so no second exchange appears.
       val fixed = q33Input(s, dir)
         .select(col("pid"), col("geom"))
+        .repartition(s.sparkContext.defaultParallelism, col("pid"))
         .dropDuplicates("pid") // BEFORE the repair: smaller shuffle, no wasted kernels
         .withColumn("geom", st_makevalid(col("geom"),
           lit(Double.NaN), lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)))
@@ -620,7 +634,8 @@ object SparkEntry {
       import s.implicits._
       val fixed = q33Input(s, dir)
         .select(col("pid"), col("geom"))
-        .dropDuplicates("pid")
+        .repartition(s.sparkContext.defaultParallelism, col("pid"))
+        .dropDuplicates("pid") // q43 note: explicit-N pins the repair stage width
         .withColumn("geom", st_makevalid(col("geom"),
           lit(Double.NaN), lit(Double.NaN), lit(Double.NaN), lit(Double.NaN)))
         .withColumn("score", col("pid").cast("double") / lit(4.0) + lit(0.5))

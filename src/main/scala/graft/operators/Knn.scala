@@ -306,7 +306,13 @@ object Knn {
     // shuffle-volume analogue of the reference kd-tree iterator's
     // best-first rule (kdtree/nearest_neighbor_iterator.go:98-189: never
     // carry what cannot be in the answer).
-    val ranked = materialize(qCells.join(p, Seq("tx", "ty"))
+    // ROUND 7: the replicated-queries side is BROADCAST (queries ≪ points
+    // is the operator contract — the brute fallback already broadcasts the
+    // query set). This removes BOTH cell-key exchanges of the candidate
+    // join: the points are probed map-side and never shuffled; the only
+    // exchange left in a level is the qid window exchange, which the
+    // partial WindowGroupLimit below caps at O(k·|queries|·partitions).
+    val ranked = materialize(p.join(broadcast(qCells), Seq("tx", "ty"))
       .filter(col("qid") =!= col("pid"))
       .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
         col("pid").as("nid"), d2.as("dist2"))

@@ -22,9 +22,13 @@ object Tiler {
     * degrees, the docs pipeline) or 3857 (web-mercator meters).
     */
   def assignTiles(geoms: DataFrame, idCol: String, z: Int, srid: Int = 4326): DataFrame = {
+    // no env-isNotNull filter (round 7, measured): st_tiles_for_bounds is
+    // null-intolerant, so a null envelope yields a null cover and explode()
+    // drops the row — same output, and the filter's presence made Catalyst
+    // evaluate the whole upstream geometry expression TWICE per row (once
+    // in the collapsed filter, once in the explode input projection)
     val env = geoms
       .withColumn("env", st_envelope(col("geom")))
-      .filter(col("env").isNotNull)
     val tiles =
       if (srid == 3857)
         st_tiles_for_bounds_3857(col("env.minx"), col("env.miny"),
@@ -66,9 +70,10 @@ object Tiler {
     * per-row expressions, no shuffle.
     */
   private def mvtPrep(geoms: DataFrame, z: Int, srid: Int): DataFrame = {
+    // same as assignTiles: explode(null cover) drops null-envelope rows;
+    // the former filter doubled the upstream makevalid+parse evaluation
     val env = geoms
       .withColumn("env", st_envelope(col("geom")))
-      .filter(col("env").isNotNull)
     val tiles =
       if (srid == 3857)
         st_tiles_for_bounds_3857(col("env.minx"), col("env.miny"),
