@@ -107,8 +107,9 @@ object Knn {
     * each query's kth-candidate distance from the failed certification
     * (the kd-tree iterator's best-first rule applied to the scan:
     * nearest_neighbor_iterator.go:98-189 — never examine what cannot be
-    * in the answer). At 100 TB each fallback level now scans
-    * O(|uncertified queries|) worth of row groups instead of the corpus.
+    * in the answer). At 100 TB each fallback level forwards only
+    * O(|uncertified queries|) worth of rows past the semi-join into the
+    * candidate join (the scan itself is map-only, never shuffled).
     */
   def knnJoinExpanding(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame = {
     val (lvl1, rest1) = knnLevel(queries, points, k, z)
