@@ -30,8 +30,17 @@ object Spread {
     // their true size (→ spread fires for the small in-memory frames the
     // specs use); sources with the huge defaultSizeInBytes conservatively
     // skip the spread rather than pay a plan-time job to find out.
+    // a frame that already carries an explicit repartition (its own
+    // spread, or a caller's keyed redistribution) is already at kernel
+    // width — re-spreading would pay a SECOND exchange of the (possibly
+    // much wider) generated columns for nothing
+    val plan = df.queryExecution.optimizedPlan
+    val alreadyRepartitioned = plan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+    }.isDefined
+    if (alreadyRepartitioned) return df
     val nFiles = df.inputFiles.length
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val bytes = plan.stats.sizeInBytes
     val maxPart = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val estSplits = math.max(nFiles.toLong, (bytes / maxPart).toLong)
     if (estSplits < cores) df.repartition(cores) else df

@@ -17,7 +17,14 @@ import graft.functions.GeomFunctions._
 object DocsTable {
 
   def docs(spark: SparkSession, dir: String): DataFrame = {
-    val p = Synth.points(spark, dir)
+    // spread BEFORE the span generation (round 7, measured): spreading the
+    // finished docs frame shuffled 52 MB of generated span strings from a
+    // 3-task stage; spreading the narrow point columns first runs the
+    // string generation (and everything downstream — explode, parse,
+    // makevalid) at kernel width and ships ~5x fewer bytes. No-op when the
+    // backing scan already has >= cores splits.
+    val p = graft.operators.Spread.forKernels(
+      Synth.points(spark, dir).select(col("pid"), col("lon"), col("lat")))
     val textSpan = struct(
       lit("text").as("kind"),
       concat(lit("filler text for doc "), col("pid")).as("text"),
