@@ -972,6 +972,27 @@ class OperatorsSpec extends AnyFunSuite {
       "drained persists must leave the block manager")
   }
 
+  test("CacheBin is session(thread)-scoped: one session's drain leaves another's frames cached") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    CacheBin.drain()
+    // "session B" registers a persist on its own thread (plan build +
+    // action happen there, like a concurrent operator invocation)
+    @volatile var bPending = -1
+    val b = new Thread(() => {
+      Dedup.nearDupPairs(docs, "doc_id", "text").count()
+      bPending = CacheBin.pending
+    })
+    b.start(); b.join()
+    assert(bPending > 0, "vacuous: thread B registered nothing")
+    // session A's drain must NOT touch B's frames (the round-6 advice
+    // trap: a global registry let A force-recompute B's mid-action reads)
+    assert(CacheBin.drain() == 0, "thread A drained thread B's frames")
+    // the shutdown escape hatch releases everything
+    assert(CacheBin.drainAll() == bPending)
+    assert(CacheBin.pending == 0)
+  }
+
   test("footer row counts: exact, job-free for bare parquet scans; safe fallbacks") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val docs = spark.read.parquet(s"$dir/documents.parquet")
