@@ -229,9 +229,17 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.toDF(domainCol, "w")
-    val caps = docs.groupBy(col(domainCol))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(wdf), Seq(domainCol))
+    // weights LEFT JOIN counts (round-6 advice): a domain demanded by
+    // `weights` but absent from `docs` must reach the caps frame as
+    // cnt = 0 so it forces T = 0 — the exact-mixture claim is impossible
+    // to satisfy with zero rows of a demanded domain, so the output is
+    // empty rather than silently omitting that domain while others keep
+    // full quota. (The former inner join dropped the absent domain from
+    // the T minimum entirely.)
+    val caps = wdf
+      .join(broadcast(docs.groupBy(col(domainCol)).agg(count(lit(1)).as("cnt"))),
+        Seq(domainCol), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .withColumn("t",
         min(call_function("div", col("cnt") * den, col("w")))
           .over(Window.partitionBy()))

@@ -1239,6 +1239,28 @@ class OperatorsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.session.timeZone", savedTz)
   }
 
+  test("mixtureSample: exact integer ratios; a demanded-but-absent domain forces an empty keep") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, "a")) ++ (101L to 120L).map(i => (i, "b")))
+      .toDF("doc_id", "src")
+    // weights 2:1 over (a: 40, b: 20): T = min(40*3/2, 20*3/1) = 60,
+    // keep a = 2*60/3 = 40, keep b = 1*60/3 = 20 — the whole corpus
+    val full = Curation.mixtureSample(docs, "src", "doc_id", Map("a" -> 2L, "b" -> 1L))
+    assert(full.filter(col("src") === "a").count() == 40 &&
+      full.filter(col("src") === "b").count() == 20)
+    // weights 1:1: T = min(40*2/1, 20*2/1) = 40 → 20 of each, exact ratio
+    val even = Curation.mixtureSample(docs, "src", "doc_id", Map("a" -> 1L, "b" -> 1L))
+    assert(even.filter(col("src") === "a").count() == 20 &&
+      even.filter(col("src") === "b").count() == 20)
+    // round-6 advice: demanding a domain with ZERO rows cannot be
+    // satisfied at any T > 0 — the output must be empty, not a silently
+    // c-free mixture over the remaining domains
+    val absent = Curation.mixtureSample(docs, "src", "doc_id",
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+    assert(absent.count() == 0,
+      "absent weighted domain must force T = 0 (exact-mixture contract)")
+  }
+
   test("exact quantiles, hash sample, int8 quantize: hand-checked semantics") {
     import spark.implicits._
     // percentile_disc: value at rank ceil(q*n); n=4 -> q=.5 picks rank 2
