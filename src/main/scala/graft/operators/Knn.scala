@@ -32,13 +32,21 @@ import graft.functions.GeomFunctions._
   */
 object Knn {
 
-  /** pick a grid zoom targeting ~15 points per cell: deep enough that the
-    * candidate join stays small, shallow enough that the 3×3 block margin
-    * certifies nearly every query.
+  /** pick a grid zoom targeting ≤ ~15 points per cell: deep enough that
+    * the candidate join stays small, shallow enough that the 3×3 block
+    * margin certifies nearly every query.
+    *
+    * ROUND 7: the level is now the CEILING of log4(n/15), not the floor.
+    * The floor landed 15-60 points/cell (the ×10 tier drew z=9 → 23/cell
+    * → ~48M candidate pairs for 235k queries, a 5.6 GB window-sort spill
+    * and 571 CPU-seconds in the rank stage); the ceiling lands 3.75-15
+    * per cell — a 3×3 block still holds 34-135 points, far above k, so
+    * certification is unaffected while the candidate volume (and the
+    * partial-top-k sort) shrinks up to 4×. Exactness never depends on z.
     */
   def zoomFor(nPoints: Long): Int = {
     val cellsWanted = math.max(1.0, nPoints / 15.0)
-    val z = (math.log(cellsWanted) / math.log(4.0)).toInt
+    val z = math.ceil(math.log(cellsWanted) / math.log(4.0)).toInt
     math.max(3, math.min(12, z))
   }
 
@@ -307,13 +315,17 @@ object Knn {
     // shuffle-volume analogue of the reference kd-tree iterator's
     // best-first rule (kdtree/nearest_neighbor_iterator.go:98-189: never
     // carry what cannot be in the answer).
-    // ROUND 7: the replicated-queries side is BROADCAST (queries ≪ points
-    // is the operator contract — the brute fallback already broadcasts the
-    // query set). This removes BOTH cell-key exchanges of the candidate
-    // join: the points are probed map-side and never shuffled; the only
-    // exchange left in a level is the qid window exchange, which the
-    // partial WindowGroupLimit below caps at O(k·|queries|·partitions).
-    val ranked = materialize(p.join(broadcast(qCells), Seq("tx", "ty"))
+    // ROUND 7, measured and REVERTED: broadcasting the replicated-queries
+    // side removed both cell-key exchanges, but it also re-partitioned the
+    // candidate stream by the POINTS' arbitrary layout — each query's
+    // candidates then scatter across every partition, the partial
+    // WindowGroupLimit below prunes almost nothing, and the qid exchange
+    // carried the FULL candidate volume (×10 tier: 17.2M rows, 7.6 GB
+    // spill, 28 s GC vs the cell-shuffled plan's ~10 s wall; at sf0.1 the
+    // hint was a wash). The cell-key shuffle is load-bearing: it
+    // CONCENTRATES each query's 3×3-block candidates so the map-side
+    // partial top-k actually caps the window exchange at O(k·|queries|).
+    val ranked = materialize(qCells.join(p, Seq("tx", "ty"))
       .filter(col("qid") =!= col("pid"))
       .select(col("qid"), col("qlon"), col("qlat"), col("qtx"), col("qty"),
         col("pid").as("nid"), d2.as("dist2"))
