@@ -122,7 +122,8 @@ object Knn {
   def knnJoinExpanding(queries: DataFrame, points: DataFrame, k: Int, z: Int): DataFrame = {
     val (lvl1, rest1) = knnLevel(queries, points, k, z)
     if (z - 2 >= 2) {
-      val (lvl2, rest2) = knnLevel(rest1, prunePointsToQueryCells(points, rest1, z - 2), k, z - 2)
+      val (lvl2, rest2) = knnLevel(rest1, prunePointsToQueryCells(points, rest1, z - 2),
+        k, z - 2, spreadPoints = false)
       lvl1.unionByName(lvl2).unionByName(bruteForce(rest2, points, k))
     } else {
       lvl1.unionByName(bruteForce(rest1, points, k))
@@ -257,7 +258,7 @@ object Knn {
 
   /** one grid level: returns (certified exact results, uncertified queries). */
   private def knnLevel(queries: DataFrame, points: DataFrame, k: Int,
-                       z: Int): (DataFrame, DataFrame) = {
+                       z: Int, spreadPoints: Boolean = true): (DataFrame, DataFrame) = {
     val d2 = (col("qlon") - col("lon")) * (col("qlon") - col("lon")) +
       (col("qlat") - col("lat")) * (col("qlat") - col("lat"))
     val q = queries.select(col("qid"), col("qlon"), col("qlat"),
@@ -275,7 +276,11 @@ object Knn {
     // without the conditional spread it runs at SCAN parallelism (3 tasks
     // for the single-file local corpus — measured 12.9 s serial CPU on
     // q21 at sf0.1, the whole query wall). No-op when splits >= cores.
-    val p = Spread.forKernels(points).select(col("pid"), col("lon"), col("lat"),
+    // FALLBACK levels skip it (spreadPoints=false): their candidate work
+    // is bounded by the (small) uncertified remainder, so the exchange +
+    // two AQE stages cost more than the narrow probe they would widen.
+    val p = (if (spreadPoints) Spread.forKernels(points) else points)
+      .select(col("pid"), col("lon"), col("lat"),
       st_lon2tile(col("lon"), lit(z)).as("tx"),
       st_lat2tile(col("lat"), lit(z)).as("ty"))
     // One shuffle on (tx,ty) for the candidate join, then ONE window
@@ -427,7 +432,8 @@ object Knn {
     val qDense = materialize(queries.filter(qCellAny))
     val qSparse = queries.filter(!qCellAny)
     val (deepExact, deepRest) =
-      knnLevel(qDense, prunePointsToQueryCells(points, qDense, zDeep), k, zDeep)
+      knnLevel(qDense, prunePointsToQueryCells(points, qDense, zDeep),
+        k, zDeep, spreadPoints = false)
     deepExact
       .unionByName(knnJoinExpanding(deepRest.drop("bound_d2"), points, k, z))
       .unionByName(knnJoinExpanding(qSparse, points, k, z))
